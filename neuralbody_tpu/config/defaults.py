@@ -1,0 +1,144 @@
+"""Default configuration tree.
+
+Mirrors the reference's global defaults (ref: lib/config/config.py:9-129) plus
+TPU-specific knobs (static shapes, mesh layout, chunk sizes) that have no
+reference counterpart.
+"""
+import numpy as np
+
+from .node import CfgNode
+
+
+def default_cfg() -> CfgNode:
+    cfg = CfgNode()
+
+    cfg.exp_name = "hello"
+    cfg.task = "if_nerf"
+
+    # ---- model ----------------------------------------------------------
+    cfg.network_module = "latent_xyzc"
+    cfg.renderer_module = "if_clight_renderer"
+    cfg.trainer_module = "if_nerf_clight"
+    cfg.evaluator_module = "if_nerf"
+    cfg.visualizer_module = "if_nerf"
+    cfg.train_dataset_module = "multi_view"
+    cfg.test_dataset_module = "multi_view"
+
+    cfg.nv = 6890            # number of SMPL vertices (ref: config.py:27)
+    cfg.code_dim = 16        # per-vertex latent code width (ref: latent_xyzc.py:13)
+    cfg.latent_dim = 128     # per-frame appearance code width (ref: latent_xyzc.py:16)
+
+    # rendering options (ref: configs/zju_mocap_exp/latent_xyzc_313.yaml)
+    cfg.xyz_res = 10
+    cfg.view_res = 4
+    cfg.i_embed = 0
+    cfg.raw_noise_std = 0.0
+    cfg.N_samples = 64
+    cfg.N_importance = 128
+    cfg.N_rand = 1024
+    cfg.perturb = 1
+    cfg.white_bkgd = False
+    cfg.lindisp = False
+    cfg.use_viewdirs = True
+    cfg.netdepth = 8
+    cfg.netwidth = 256
+    cfg.netdepth_fine = 8
+    cfg.netwidth_fine = 256
+
+    # ---- data -----------------------------------------------------------
+    cfg.human = 313
+    cfg.training_view = [0, 6, 12, 18]
+    cfg.begin_ith_frame = 0
+    cfg.num_train_frame = 1
+    cfg.num_novel_pose_frame = 1000
+    cfg.num_render_frame = -1
+    cfg.frame_interval = 1
+    cfg.num_render_views = 50
+    cfg.smpl = "smpl"
+    cfg.vertices = "vertices"
+    cfg.params = "params"
+    cfg.mask_bkgd = True
+    cfg.H = 1024
+    cfg.W = 1024
+    cfg.ratio = 0.5
+    cfg.big_box = False
+    cfg.voxel_size = [0.005, 0.005, 0.005]  # dhw
+    cfg.rot_ratio = 0.0
+    cfg.rot_range = float(np.pi / 32)
+    cfg.body_sample_ratio = 0.5
+    cfg.face_sample_ratio = 0.0
+    cfg.add_pointcloud = False
+
+    cfg.train_dataset = CfgNode(
+        dict(data_root="", human="", ann_file="", split="train")
+    )
+    cfg.test_dataset = CfgNode(
+        dict(data_root="", human="", ann_file="", split="test")
+    )
+
+    # ---- mesh -----------------------------------------------------------
+    cfg.mesh_th = 50
+
+    # ---- train ----------------------------------------------------------
+    cfg.train = CfgNode()
+    cfg.train.batch_size = 1
+    cfg.train.epoch = 10000
+    cfg.train.num_workers = 8
+    cfg.train.shuffle = True
+    cfg.train.optim = "adam"
+    cfg.train.lr = 1e-4
+    cfg.train.weight_decay = 0.0
+    cfg.train.scheduler = CfgNode(
+        dict(type="multi_step", milestones=[80, 120, 200, 240], gamma=0.5,
+             decay_epochs=1000)
+    )
+    cfg.ep_iter = -1
+    cfg.save_ep = 100
+    cfg.save_latest_ep = 5
+    cfg.eval_ep = 100
+    cfg.grad_clip_value = 40.0   # ref: lib/train/trainers/trainer.py:52
+    cfg.resume = True
+    cfg.fix_random = False
+
+    # ---- test -----------------------------------------------------------
+    cfg.test = CfgNode()
+    cfg.test.batch_size = 1
+    cfg.test.epoch = -1
+    cfg.test.sampler = "default"
+    cfg.test.frame_sampler_interval = 30
+    cfg.skip_eval = False
+    cfg.test_novel_pose = False
+    cfg.novel_pose_ni = 100
+
+    # ---- visualization modes (ref: config.py:157-167) -------------------
+    cfg.vis_novel_pose = False
+    cfg.vis_novel_view = False
+    cfg.vis_rotate_smpl = False
+    cfg.vis_mesh = False
+    cfg.eval_whole_img = False
+
+    # ---- dirs -----------------------------------------------------------
+    cfg.trained_model_dir = "data/trained_model"
+    cfg.record_dir = "data/record"
+    cfg.result_dir = "data/result"
+    cfg.log_interval = 20
+    cfg.record_interval = 20
+
+    # ---- TPU-native knobs (no reference counterpart) --------------------
+    cfg.tpu = CfgNode()
+    # static site-list capacities per encoder level; -1 = derive from data
+    cfg.tpu.site_caps = [-1, -1, -1, -1, -1]
+    # static dense grid shape (dhw); -1 = max over frames, padded to 32
+    cfg.tpu.static_out_sh = [-1, -1, -1]
+    cfg.tpu.chunk_rays = 2048        # rays per render chunk (ref 2048 pixels)
+    cfg.tpu.mesh_pt_chunk = 2048 * 64  # points per mesh-density chunk
+    cfg.tpu.compute_dtype = "float32"
+    cfg.tpu.data_axis = "data"       # mesh axis name for ray/data parallelism
+    cfg.tpu.num_devices = -1         # -1 = all visible devices
+    cfg.tpu.use_pallas = True        # enable fused Pallas kernels on TPU
+    cfg.tpu.cache_frame_geometry = True
+
+    cfg.distributed = False
+    cfg.local_rank = 0
+
+    return cfg

@@ -1,0 +1,149 @@
+"""SparseConvNet: latent-code diffusion over the posed body volume.
+
+TPU-native re-design of the reference encoder (ref: lib/networks/
+latent_xyzc.py:166-274): double/triple submanifold conv blocks with
+stride-2 downsamples, emitting 4 multi-scale dense feature volumes
+(32/64/128/128 channels at strides 2/4/8/16), each conv bias-free followed
+by active-site BatchNorm (eps=1e-3, momentum=0.01) and ReLU.
+
+Functional style: `init(key)` returns a params pytree + batch-stats pytree;
+`apply(params, codes, geom, static)` returns the 4 volumes. All shapes are
+static per sequence (site capacities + out_sh).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.sparse_conv import (
+    gather_taps, masked_batch_norm, scatter_dense, site_mask,
+    sparse_conv_matmul,
+)
+
+# (name, kind, n_convs, cin, cout); kind 'subm' keeps the site set,
+# 'down' moves to the next (half-res) level. Mirrors ref latent_xyzc.py:170-182.
+ARCH = [
+    ("conv0", "subm", 2, 16, 16),
+    ("down0", "down", 1, 16, 32),
+    ("conv1", "subm", 2, 32, 32),      # -> net1 (stride 2)
+    ("down1", "down", 1, 32, 64),
+    ("conv2", "subm", 3, 64, 64),      # -> net2 (stride 4)
+    ("down2", "down", 1, 64, 128),
+    ("conv3", "subm", 3, 128, 128),    # -> net3 (stride 8)
+    ("down3", "down", 1, 128, 128),
+    ("conv4", "subm", 3, 128, 128),    # -> net4 (stride 16)
+]
+DENSE_AFTER = {"conv1": 1, "conv2": 2, "conv3": 3, "conv4": 4}
+VOLUME_CHANNELS = (32, 64, 128, 128)
+BN_EPS = 1e-3
+BN_MOMENTUM = 0.01
+
+
+class EncoderStatic(NamedTuple):
+    """Hashable static spec: full-res grid shape + per-level site capacities."""
+    out_sh: tuple    # (D, H, W), multiples of 32
+    site_caps: tuple  # 5 ints
+
+    def level_sh(self, lvl: int) -> tuple:
+        return tuple(s // (2 ** lvl) for s in self.out_sh)
+
+
+def _conv_init(key, cin, cout, k=27):
+    # U(-1/sqrt(fan_in), 1/sqrt(fan_in)), fan_in = 27*cin (torch conv default)
+    bound = 1.0 / jnp.sqrt(float(k * cin))
+    return jax.random.uniform(key, (k, cin, cout), minval=-bound, maxval=bound)
+
+
+def init(key):
+    params, stats = {}, {}
+    for name, _, n, cin, cout in ARCH:
+        keys = jax.random.split(key, n + 1)
+        key = keys[0]
+        layers = []
+        bn_layers = []
+        c_in = cin
+        for i in range(n):
+            layers.append({
+                "w": _conv_init(keys[i + 1], c_in, cout),
+                "bn_scale": jnp.ones((cout,)),
+                "bn_bias": jnp.zeros((cout,)),
+            })
+            bn_layers.append({
+                "mean": jnp.zeros((cout,)),
+                "var": jnp.ones((cout,)),
+            })
+            c_in = cout
+        params[name] = layers
+        stats[name] = bn_layers
+    return params, stats
+
+
+def _conv_bn_relu(layer, feats, table, mask):
+    """One (conv -> masked BN -> relu) layer over batched site lists.
+
+    feats [B, S_in, C_in], table [B, S_out, 27] -> [B, S_out, C_out].
+    BN statistics are joint over the batch's active sites.
+    """
+    g = jax.vmap(gather_taps)(feats, table)               # [B, S_out, 27, Cin]
+    y = jax.vmap(sparse_conv_matmul, in_axes=(0, None))(g, layer["w"])
+    y, bn_batch = masked_batch_norm(
+        y, mask, layer["bn_scale"], layer["bn_bias"], eps=BN_EPS
+    )
+    return jax.nn.relu(y) * mask[..., None], bn_batch
+
+
+def apply(params, codes, geom, static: EncoderStatic):
+    """Run the encoder.
+
+    Args:
+      params: pytree from init().
+      codes: [B, S0_cap, 16] level-0 site features (scattered vertex codes).
+      geom: batched frame-geometry arrays (each [B, ...]); see
+        ops.sparse_conv.build_frame_geometry.
+      static: EncoderStatic (hashable; jit static arg).
+
+    Returns:
+      (volumes, new_batch_stats): volumes is a list of 4 dense feature
+      volumes [B, D_l, H_l, W_l, C_l] at strides 2/4/8/16.
+    """
+    caps = static.site_caps
+    masks = [
+        jax.vmap(site_mask, in_axes=(0, None))(geom[f"nsite{l}"], caps[l])
+        for l in range(5)
+    ]
+
+    x = codes
+    lvl = 0
+    volumes = []
+    new_stats = {}
+    for name, kind, n, _, _ in ARCH:
+        if kind == "down":
+            table = geom[f"down{lvl}"]
+            lvl += 1
+        else:
+            table = geom[f"nbr{lvl}"]
+        layer_stats = []
+        for i in range(n):
+            tbl = table if i == 0 else geom[f"nbr{lvl}"]
+            x, bn_batch = _conv_bn_relu(params[name][i], x, tbl, masks[lvl])
+            layer_stats.append({"mean": bn_batch[0], "var": bn_batch[1]})
+        new_stats[name] = layer_stats
+
+        if name in DENSE_AFTER:
+            lsh = static.level_sh(DENSE_AFTER[name])
+            vol = jax.vmap(scatter_dense, in_axes=(0, 0, None))(
+                x, geom[f"sites{lvl}"], lsh
+            )
+            volumes.append(vol)
+
+    return volumes, new_stats
+
+
+def update_running_stats(stats, new_batch_stats, momentum=BN_MOMENTUM):
+    """EMA update of BN running stats (torch momentum semantics)."""
+    return jax.tree.map(
+        lambda run, batch: (1.0 - momentum) * run + momentum * batch,
+        stats, new_batch_stats,
+    )

@@ -1,0 +1,242 @@
+"""TPU-native sparse 3D convolution engine.
+
+Replaces the reference's spconv 1.2.1 C++/CUDA dependency (ref:
+lib/networks/latent_xyzc.py:2,36-37,208-274) with a design that maps onto the
+TPU MXU:
+
+  host  (numpy, cacheable per frame): "rulebook" construction — active-site
+        lists per resolution level and gather index tables for submanifold
+        and strided convolutions (the analog of spconv's rulebook builder).
+  device (JAX/XLA): static-shape gather -> [S, 27*Cin] @ [27*Cin, Cout]
+        matmul -> masked batch-norm -> relu, plus scatter into dense volumes
+        at the `.dense()` materialization points.
+
+Semantics parity with spconv:
+  * SubMConv3d(k=3, bias=False): outputs only at input active sites; halo
+    contributions killed (we never create them).
+  * SparseConv3d(k=3, s=2, p=1, bias=False): output sites are all sites
+    receiving at least one active input tap; with bias=False this equals a
+    dense strided conv on the zero-filled grid.
+  * BatchNorm1d over the active-site list, not the dense grid (ref:
+    latent_xyzc.py:215).
+  * .dense(): zero-filled scatter (duplicate input vertices are sum-combined
+    at voxelization; see voxelize_vertices).
+
+All index tables are padded to static capacities so XLA compiles once per
+sequence.
+"""
+from __future__ import annotations
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# 27 kernel taps in (kd, kh, kw) lexicographic order; tap k touches input
+# coordinate  p + k - 1  (submanifold)  or  2p + k - 1  (stride-2, pad 1).
+KERNEL_OFFSETS = np.array(
+    list(itertools.product((-1, 0, 1), repeat=3)), dtype=np.int32
+)  # [27, 3]
+
+
+# ---------------------------------------------------------------------------
+# Host-side rulebook construction (numpy, vectorized)
+# ---------------------------------------------------------------------------
+
+def _hash_coords(coords: np.ndarray, sh) -> np.ndarray:
+    return (coords[..., 0].astype(np.int64) * sh[1] + coords[..., 1]) * sh[2] \
+        + coords[..., 2]
+
+
+class _SiteLookup:
+    """coord -> site-row index map via sorted linearized codes."""
+
+    def __init__(self, sites: np.ndarray, sh):
+        self.sh = np.asarray(sh, dtype=np.int64)
+        codes = _hash_coords(sites, sh)
+        self.order = np.argsort(codes)
+        self.sorted_codes = codes[self.order]
+
+    def __call__(self, query: np.ndarray) -> np.ndarray:
+        """query: [..., 3] int coords -> row index into sites, or -1."""
+        inb = np.all((query >= 0) & (query < self.sh), axis=-1)
+        qc = _hash_coords(np.clip(query, 0, None), self.sh)
+        pos = np.searchsorted(self.sorted_codes, qc)
+        pos_c = np.minimum(pos, len(self.sorted_codes) - 1)
+        found = inb & (self.sorted_codes[pos_c] == qc)
+        return np.where(found, self.order[pos_c], -1).astype(np.int32)
+
+
+def dedup_sites(coords: np.ndarray, sh) -> tuple[np.ndarray, np.ndarray]:
+    """Unique voxel coords (sorted by linear code) + inverse map per input."""
+    codes = _hash_coords(coords, sh)
+    _, first, inverse = np.unique(codes, return_index=True, return_inverse=True)
+    return coords[first].astype(np.int32), inverse.astype(np.int32)
+
+
+def subm_table(sites: np.ndarray, lookup: _SiteLookup) -> np.ndarray:
+    """[S, 27] gather table for a submanifold 3x3x3 conv (identity site set)."""
+    query = sites[:, None, :] + KERNEL_OFFSETS[None]          # [S, 27, 3]
+    return lookup(query)
+
+
+def downsample_sites(sites: np.ndarray, sh) -> np.ndarray:
+    """Output active sites of SparseConv3d(k=3, s=2, p=1) on `sites`.
+
+    Input coord c feeds output p iff 2p = c + 1 - k for some k in {0,1,2}
+    per dim, i.e. p in {(c-1)/2, c/2, (c+1)/2} ∩ Z, clipped to [0, sh/2).
+    """
+    out_sh = np.asarray(sh, dtype=np.int64) // 2
+    cands = []
+    for off in itertools.product((-1, 0, 1), repeat=3):
+        c = sites + np.array(off, dtype=np.int32)
+        ok = np.all(c % 2 == 0, axis=-1)
+        p = c[ok] // 2
+        p = p[np.all((p >= 0) & (p < out_sh), axis=-1)]
+        cands.append(p)
+    cands = np.concatenate(cands, axis=0)
+    if len(cands) == 0:
+        return np.zeros((0, 3), np.int32)
+    out, _ = dedup_sites(cands, out_sh)
+    return out
+
+
+def down_table(out_sites: np.ndarray, in_lookup: _SiteLookup) -> np.ndarray:
+    """[S_out, 27] gather table into the input level for the strided conv."""
+    query = 2 * out_sites[:, None, :] + KERNEL_OFFSETS[None]
+    return in_lookup(query)
+
+
+def _pad_rows(a: np.ndarray, cap: int, fill) -> np.ndarray:
+    if len(a) > cap:
+        raise ValueError(
+            f"site count {len(a)} exceeds static capacity {cap}; raise "
+            f"tpu.site_caps for this sequence"
+        )
+    pad = np.full((cap - len(a),) + a.shape[1:], fill, dtype=a.dtype)
+    return np.concatenate([a, pad], axis=0)
+
+
+def build_frame_geometry(vertex_coords: np.ndarray, out_sh, site_caps):
+    """Build all static-shape index tables for one frame.
+
+    Args:
+      vertex_coords: [nv, 3] int voxel coords (dhw) of the SMPL vertices
+        (ref voxelization: lib/datasets/light_stage/multi_view_dataset.py:107-111).
+      out_sh: static full-resolution grid shape (dhw), multiple of 32.
+      site_caps: list of 5 static per-level site capacities.
+
+    Returns:
+      dict of int32 numpy arrays (a pytree ready for device transfer):
+        vert_idx   [nv]        vertex -> level-0 site row
+        sites{l}   [S_l, 3]    l in 1..4 (scatter targets for .dense())
+        nbr{l}     [S_l, 27]   submanifold gather tables, l in 0..4
+        down{l}    [S_{l+1}, 27] strided-conv gather tables, l in 0..3
+        nsite{l}   []          actual site count per level
+      Missing/padded gather entries point at row S_l (a zero row appended on
+      device); padded scatter coords are out-of-bounds for scatter-drop.
+    """
+    out_sh = np.asarray(out_sh, dtype=np.int64)
+    geom = {}
+
+    sites, inverse = dedup_sites(vertex_coords.astype(np.int32), out_sh)
+    level_sites = []
+    sh = out_sh.copy()
+    for lvl in range(5):
+        cap = site_caps[lvl]
+        lookup = _SiteLookup(sites, sh)
+        if lvl == 0:
+            geom["vert_idx"] = np.where(
+                inverse >= 0, inverse, cap
+            ).astype(np.int32)
+        nbr = subm_table(sites, lookup)
+        nbr = np.where(nbr < 0, cap, nbr)
+        geom[f"nbr{lvl}"] = _pad_rows(nbr, cap, cap)
+        geom[f"nsite{lvl}"] = np.int32(len(sites))
+        # scatter coords for .dense(); sentinel = out-of-bounds row
+        geom[f"sites{lvl}"] = _pad_rows(
+            sites, cap, np.int32(2 ** 30)
+        )
+        level_sites.append(sites)
+
+        if lvl < 4:
+            nxt = downsample_sites(sites, sh)
+            dtab = down_table(nxt, lookup)
+            dtab = np.where(dtab < 0, cap, dtab)
+            geom[f"down{lvl}"] = _pad_rows(dtab, site_caps[lvl + 1], cap)
+            sites = nxt
+            sh = sh // 2
+
+    return geom
+
+
+# ---------------------------------------------------------------------------
+# Device-side compute (JAX)
+# ---------------------------------------------------------------------------
+
+def site_mask(nsite, cap, dtype=jnp.float32):
+    """[cap] validity mask from an actual site count."""
+    return (jnp.arange(cap) < nsite).astype(dtype)
+
+
+def scatter_vertex_codes(codes, vert_idx, cap):
+    """Sum per-vertex codes into their level-0 site rows.
+
+    codes: [nv, C]; vert_idx: [nv] (rows in [0, cap], cap = dump row).
+    Duplicate-voxel vertices are sum-combined so every vertex code receives
+    gradient (the reference feeds duplicates to spconv unspecified; sum is
+    the principled TPU-native choice).
+    """
+    C = codes.shape[-1]
+    out = jnp.zeros((cap + 1, C), codes.dtype)
+    out = out.at[vert_idx].add(codes)
+    return out[:cap]
+
+
+def gather_taps(feats, table):
+    """feats [S, C] (+ implicit zero row) gathered by table [S_out, 27].
+
+    Returns [S_out, 27, C]. Index S (== len(feats)) reads the zero row.
+    """
+    fpad = jnp.concatenate([feats, jnp.zeros_like(feats[:1])], axis=0)
+    return fpad[table]
+
+
+def sparse_conv_matmul(gathered, w):
+    """[S, 27, Cin] x [27, Cin, Cout] -> [S, Cout] on the MXU."""
+    S = gathered.shape[0]
+    k, cin, cout = w.shape
+    return jnp.dot(
+        gathered.reshape(S, k * cin),
+        w.reshape(k * cin, cout),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def masked_batch_norm(x, mask, scale, bias, eps=1e-3):
+    """BatchNorm over active sites only (ref: latent_xyzc.py:215).
+
+    x: [..., S, C]; mask: [..., S]. Statistics are over all leading dims and
+    S, weighted by mask — matches torch BatchNorm1d over the concatenated
+    active-site list of the whole batch. Returns normalized x (zeroed at
+    padded rows) plus the batch (mean, biased var) for running-stat updates.
+    """
+    m = mask[..., None]
+    n = jnp.maximum(jnp.sum(m), 1.0)
+    mean = jnp.sum(x * m, axis=tuple(range(x.ndim - 1))) / n
+    var = jnp.sum(((x - mean) ** 2) * m, axis=tuple(range(x.ndim - 1))) / n
+    y = (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+    return y * m, (mean, var)
+
+
+def scatter_dense(feats, sites, out_sh_lvl):
+    """Site features -> zero-filled dense volume [D, H, W, C] (.dense()).
+
+    Padded rows carry out-of-bounds coords and are dropped by the scatter.
+    """
+    C = feats.shape[-1]
+    vol = jnp.zeros((*out_sh_lvl, C), feats.dtype)
+    return vol.at[sites[:, 0], sites[:, 1], sites[:, 2]].add(
+        feats, mode="drop"
+    )

@@ -16,6 +16,11 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
+import jax  # noqa: E402
+
+# the axon TPU plugin force-sets jax_platforms at import; override it back
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

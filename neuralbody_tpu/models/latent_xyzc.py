@@ -99,11 +99,12 @@ def get_grid_coords(ppts, bounds, voxel_size, out_sh):
     Reproduces the reference normalization exactly, including division by
     out_sh instead of out_sh-1 (ref: latent_xyzc.py:49-60).
     """
-    dhw = ppts[..., [2, 1, 0]]
-    min_dhw = bounds[0][[2, 1, 0]]
+    rev = jnp.array([2, 1, 0])
+    dhw = ppts[..., rev]
+    min_dhw = bounds[0][rev]
     dhw = (dhw - min_dhw) / jnp.asarray(voxel_size, dhw.dtype)
     dhw = dhw / jnp.asarray(out_sh, dhw.dtype) * 2.0 - 1.0
-    return dhw[..., [2, 1, 0]]
+    return dhw[..., rev]
 
 
 def interpolate_features(grid_coords, volumes):

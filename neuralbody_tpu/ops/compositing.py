@@ -48,8 +48,11 @@ def raw2outputs(raw, z_vals, rays_d, raw_noise_std=0.0, white_bkgd=False,
     rgb_map = jnp.sum(weights[..., None] * rgb, axis=-2)
     depth_map = jnp.sum(weights * z_vals, axis=-1)
     acc_map = jnp.sum(weights, axis=-1)
+    # NaN-safe: the reference divides depth/acc which is 0/0 on empty rays
+    # (nerf_net_utils.py:44-45 NaNs there too; disp is never consumed).
     disp_map = 1.0 / jnp.maximum(
-        1e-10 * jnp.ones_like(depth_map), depth_map / acc_map
+        1e-10 * jnp.ones_like(depth_map),
+        depth_map / jnp.maximum(acc_map, 1e-10),
     )
 
     if white_bkgd:

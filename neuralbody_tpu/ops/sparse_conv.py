@@ -118,6 +118,29 @@ def _pad_rows(a: np.ndarray, cap: int, fill) -> np.ndarray:
     return np.concatenate([a, pad], axis=0)
 
 
+def measure_site_counts(vertex_coords: np.ndarray, out_sh) -> list[int]:
+    """Actual per-level active-site counts for one frame (for cap sizing)."""
+    out_sh = np.asarray(out_sh, dtype=np.int64)
+    sites, _ = dedup_sites(vertex_coords.astype(np.int32), out_sh)
+    counts = []
+    sh = out_sh.copy()
+    for lvl in range(5):
+        counts.append(len(sites))
+        if lvl < 4:
+            sites = downsample_sites(sites, sh)
+            sh = sh // 2
+    return counts
+
+
+def compute_site_caps(frames_coords, out_sh, round_to: int = 256) -> list[int]:
+    """Max per-level site counts over frames, rounded up (static capacities)."""
+    caps = [0] * 5
+    for coords in frames_coords:
+        for l, c in enumerate(measure_site_counts(coords, out_sh)):
+            caps[l] = max(caps[l], c)
+    return [max(round_to, -(-c // round_to) * round_to) for c in caps]
+
+
 def build_frame_geometry(vertex_coords: np.ndarray, out_sh, site_caps):
     """Build all static-shape index tables for one frame.
 

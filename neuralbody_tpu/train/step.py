@@ -1,0 +1,55 @@
+"""Jitted training / evaluation step.
+
+The reference couples loss to the renderer via NetworkWrapper
+(ref: lib/train/trainers/if_nerf_clight.py:8-37): MSE between rendered and
+ground-truth pixels over rays inside the body AABB. Here the whole step —
+encode, render, loss, backward, clip, Adam update, BN running-stat EMA —
+is one pjit-able pure function; padded rays are excluded by ray_mask.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.sparse_conv_net import update_running_stats
+from ..renderer.renderer import RenderSettings, render_rays
+
+
+def masked_mse(pred, target, mask):
+    """Mean squared error over valid rays (mask [B, R])."""
+    m = mask[..., None]
+    se = ((pred - target) ** 2) * m
+    return jnp.sum(se) / jnp.maximum(jnp.sum(m) * pred.shape[-1], 1.0)
+
+
+def loss_fn(params, batch, settings: RenderSettings, key):
+    ret, new_bn = render_rays(params, batch, settings, key=key, train=True)
+    img_loss = masked_mse(ret["rgb_map"], batch["rgb"], batch["ray_mask"])
+    scalar_stats = {"img_loss": img_loss, "psnr": -10.0 * jnp.log10(img_loss)}
+    return img_loss, (ret, new_bn, scalar_stats)
+
+
+@partial(jax.jit, static_argnames=("settings", "tx"), donate_argnames=("params", "opt_state"))
+def train_step(params, bn_stats, opt_state, batch, key, settings: RenderSettings,
+               tx: optax.GradientTransformation):
+    """One optimization step. Returns (params, bn_stats, opt_state, stats)."""
+    (loss, (_, new_bn, scalar_stats)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(params, batch, settings, key)
+
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    bn_stats = {"xyzc_net": update_running_stats(
+        bn_stats["xyzc_net"], new_bn)}
+    scalar_stats["loss"] = loss
+    return params, bn_stats, opt_state, scalar_stats
+
+
+@partial(jax.jit, static_argnames=("settings",))
+def eval_step(params, batch, settings: RenderSettings):
+    """Deterministic forward render (perturb off; ref run.py:50)."""
+    ret, _ = render_rays(params, batch, settings, key=None, train=False)
+    return ret

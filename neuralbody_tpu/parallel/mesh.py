@@ -1,0 +1,62 @@
+"""Device mesh and sharding layout.
+
+TPU-native replacement for the reference's NCCL DistributedDataParallel
+(ref: train_net.py:93-98, lib/train/trainers/trainer.py:13-18): a 1-D
+jax.sharding.Mesh over all chips with the ray/batch axis sharded and
+parameters replicated. XLA GSPMD inserts the gradient psum over ICI and
+overlaps it with the backward pass — no hand-written collectives.
+
+The model has no attention and its feature volume is small (<=352ch over a
+~96^3 effective grid), so volumes are replicated per chip and only the ray
+dimension is sharded (SURVEY.md §5 long-context note).
+"""
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(num_devices: int = -1, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    if num_devices > 0:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def ray_sharded(mesh: Mesh) -> NamedSharding:
+    """[B, R, ...]: shard the ray axis across the data axis."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
+def batch_shardings(mesh: Mesh, batch: dict) -> dict:
+    """Sharding pytree for a canonical batch: rays sharded, rest replicated.
+
+    Ray-indexed arrays ([B, R, ...]) are sharded on R; frame geometry,
+    transforms, and per-view mask stacks are replicated (every chip encodes
+    the full feature volume, as every reference GPU does under DDP).
+    """
+    ray_keys = {"ray_o", "ray_d", "near", "far", "rgb", "ray_mask", "pts"}
+    rep = replicated(mesh)
+    shard = ray_sharded(mesh)
+    return {
+        k: (jax.tree.map(lambda _: rep, v) if isinstance(v, dict)
+            else (shard if k in ray_keys else rep))
+        for k, v in batch.items()
+    }
+
+
+def shard_batch(mesh: Mesh, batch: dict) -> dict:
+    """Device-put a host batch with the canonical shardings."""
+    shardings = batch_shardings(mesh, batch)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, s), batch, shardings,
+        is_leaf=lambda x: not isinstance(x, dict),
+    )

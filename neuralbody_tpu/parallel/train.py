@@ -1,0 +1,45 @@
+"""Sharded training step construction.
+
+Builds a jitted train step with explicit in/out shardings over a Mesh:
+rays sharded on the data axis, params/optimizer state replicated. The
+gradient all-reduce is GSPMD-inserted (rides ICI within a slice, DCN
+across), replacing the reference's DDP backward all-reduce
+(ref: trainer.py:51).
+"""
+from __future__ import annotations
+
+import jax
+import optax
+from jax.sharding import Mesh
+
+from ..renderer.renderer import RenderSettings
+from ..train.step import loss_fn
+from ..models.sparse_conv_net import update_running_stats
+from .mesh import batch_shardings, replicated
+
+
+def make_sharded_train_step(mesh: Mesh, settings: RenderSettings,
+                            tx: optax.GradientTransformation,
+                            example_batch: dict):
+    """Returns train_step(params, bn_stats, opt_state, batch, key)."""
+    rep = replicated(mesh)
+    b_shardings = batch_shardings(mesh, example_batch)
+
+    def step(params, bn_stats, opt_state, batch, key):
+        (loss, (_, new_bn, scalar_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, batch, settings, key)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        bn_stats = {"xyzc_net": update_running_stats(
+            bn_stats["xyzc_net"], new_bn)}
+        scalar_stats["loss"] = loss
+        return params, bn_stats, opt_state, scalar_stats
+
+    rep_tree = lambda t: jax.tree.map(lambda _: rep, t)  # noqa: E731
+    return jax.jit(
+        step,
+        in_shardings=(rep, rep, rep, b_shardings, rep),
+        out_shardings=(rep, rep, rep, rep),
+        donate_argnums=(0, 2),
+    )

@@ -1,0 +1,126 @@
+"""Batch assembly: static-shape collation and a prefetching loader.
+
+The device only ever sees fixed shapes: train batches carry exactly N_rand
+rays; eval batches pad the variable hit-ray count up to a multiple of
+chunk_rays with ray_mask=0 (the reference's mask_at_box maps directly,
+SURVEY.md §7.1). Host-only fields (image-space hit mask, indices) travel in
+a separate meta dict that never reaches jit.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+
+from ..config import build, register, resolve
+from . import samplers
+
+DEVICE_KEYS = ("geom", "rgb", "ray_o", "ray_d", "near", "far", "ray_mask",
+               "R", "Th", "bounds", "latent_index", "Ks", "RT", "msks", "pts")
+
+
+def pad_to(x, n, axis=0):
+    pad = n - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return np.pad(x, widths)
+
+
+def collate(samples, chunk_rays):
+    """Stack samples into a (device_batch, meta) pair with padded rays."""
+    n_rays = max(s["rgb"].shape[0] for s in samples)
+    n_rays = -(-n_rays // chunk_rays) * chunk_rays
+
+    device, meta = {}, {}
+    for key in samples[0]:
+        vals = [s[key] for s in samples]
+        if key == "geom":
+            device["geom"] = {
+                k: np.stack([v[k] for v in vals]) for k in vals[0]
+            }
+        elif key in ("rgb", "ray_o", "ray_d", "near", "far", "pts"):
+            device[key] = np.stack([pad_to(np.asarray(v), n_rays) for v in vals])
+        elif key in DEVICE_KEYS:
+            device[key] = np.stack([np.asarray(v) for v in vals])
+        else:
+            meta[key] = vals if len(vals) > 1 else vals[0]
+
+    device["ray_mask"] = np.stack([
+        pad_to(np.ones(s["rgb"].shape[0], np.float32), n_rays)
+        for s in samples
+    ])
+    device["Th"] = device["Th"].reshape(len(samples), 1, 3)
+    return device, meta
+
+
+class DataLoader:
+    """Iterates (device_batch, meta) with background prefetch."""
+
+    def __init__(self, dataset, indices, chunk_rays, batch_size=1,
+                 prefetch=2):
+        self.dataset = dataset
+        self.indices = list(indices)
+        self.chunk_rays = chunk_rays
+        self.batch_size = batch_size
+        self.prefetch = prefetch
+
+    def __len__(self):
+        return len(self.indices) // self.batch_size
+
+    def _produce(self, q):
+        try:
+            for i in range(len(self)):
+                batch_idx = self.indices[i * self.batch_size:
+                                         (i + 1) * self.batch_size]
+                samples = [self.dataset[j] for j in batch_idx]
+                q.put(collate(samples, self.chunk_rays))
+        finally:
+            q.put(None)
+
+    def __iter__(self):
+        q = queue.Queue(maxsize=self.prefetch)
+        t = threading.Thread(target=self._produce, args=(q,), daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            yield item
+
+
+def make_dataset(cfg, split):
+    name = (cfg.train_dataset_module if split == "train"
+            else cfg.test_dataset_module)
+    data_cfg = cfg.train_dataset if split == "train" else cfg.test_dataset
+    return build("dataset", name, cfg, data_cfg, split)
+
+
+def make_data_loader(cfg, split, dataset=None, epoch=0, num_hosts=1,
+                     host_id=0):
+    """Factory mirroring the reference loader assembly
+    (ref: lib/datasets/make_dataset.py:70-96)."""
+    if dataset is None:
+        dataset = make_dataset(cfg, split)
+
+    if split == "train":
+        idx = samplers.epoch_indices(
+            len(dataset), epoch, shuffle=cfg.train.shuffle,
+            num_hosts=num_hosts, host_id=host_id,
+            ep_iter=cfg.ep_iter * cfg.train.batch_size
+            if cfg.ep_iter > 0 else -1)
+        chunk = cfg.N_rand
+        bs = cfg.train.batch_size
+    else:
+        if cfg.test.sampler == "FrameSampler":
+            idx = samplers.frame_sampler_indices(
+                len(dataset), getattr(dataset, "num_cams", 1),
+                cfg.test.frame_sampler_interval)
+        else:
+            idx = samplers.sequential_indices(len(dataset))
+        chunk = cfg.tpu.chunk_rays
+        bs = cfg.test.batch_size
+
+    return DataLoader(dataset, idx, chunk, batch_size=bs)

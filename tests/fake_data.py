@@ -1,0 +1,129 @@
+"""Fabricated mini datasets in reference on-disk formats (ZJU / Snapshot)."""
+import os
+import pickle
+
+import numpy as np
+
+try:
+    import imageio.v2 as imageio
+except Exception:
+    import imageio
+
+from neuralbody_tpu.utils.synthetic import ellipsoid_vertices
+
+
+def _look_at_camera(center, azimuth, dist=3.0, height=0.0):
+    """World->cam R, T with camera on a ring looking at center."""
+    pos = center + np.array([dist * np.cos(azimuth), height,
+                             dist * np.sin(azimuth)], np.float32)
+    z = center - pos
+    z = z / np.linalg.norm(z)
+    up = np.array([0, -1, 0], np.float32)
+    x = np.cross(up, z); x /= np.linalg.norm(x)
+    y = np.cross(z, x)
+    R = np.stack([x, y, z], axis=0).astype(np.float64)
+    T = (-R @ pos).reshape(3, 1)
+    return R, T
+
+
+def make_fake_zju(root, n_frames=3, n_cams=3, hw=64, n_verts=400, seed=0):
+    """ZJU-MoCap layout: annots.npy, params/, vertices/, images, mask_cihp."""
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    base = ellipsoid_vertices(n_verts, radii=(0.3, 0.8, 0.15), seed=seed)
+
+    K = np.array([[60.0, 0, hw / 2], [0, 60.0, hw / 2], [0, 0, 1]])
+    cams = {"K": [], "D": [], "R": [], "T": []}
+    center = np.array([0.0, 0.0, 0.0], np.float32)
+    for c in range(n_cams):
+        R, T = _look_at_camera(center, 2 * np.pi * c / n_cams)
+        cams["K"].append(K.copy())
+        cams["D"].append(np.zeros((5, 1)))
+        cams["R"].append(R)
+        cams["T"].append(T * 1000.0)  # reference divides by 1000
+
+    os.makedirs(f"{root}/params", exist_ok=True)
+    os.makedirs(f"{root}/vertices", exist_ok=True)
+    ims = []
+    for f in range(n_frames):
+        Rh = np.array([0.0, 0.1 * f, 0.0])
+        Th = np.array([[0.01 * f, 0.0, 0.0]], np.float32)
+        import cv2
+        R = cv2.Rodrigues(Rh)[0]
+        wxyz = (base @ R.T + Th).astype(np.float32)
+        np.save(f"{root}/vertices/{f}.npy", wxyz)
+        np.save(f"{root}/params/{f}.npy",
+                {"Rh": Rh.reshape(1, 3), "Th": Th, "poses": np.zeros((1, 72)),
+                 "shapes": np.zeros((1, 10))})
+        frame_ims = []
+        for c in range(n_cams):
+            img_rel = f"Camera ({c + 1})/{f:06d}.jpg"
+            img_path = f"{root}/{img_rel}"
+            os.makedirs(os.path.dirname(img_path), exist_ok=True)
+            # render a crude mask by projecting vertices
+            img = np.zeros((hw, hw, 3), np.uint8)
+            msk = np.zeros((hw, hw), np.uint8)
+            Rc, Tc = np.array(cams["R"][c]), np.array(cams["T"][c]) / 1000.0
+            cam_pts = wxyz @ Rc.T + Tc.reshape(3)
+            uv = cam_pts @ K.T
+            uv = (uv[:, :2] / uv[:, 2:]).astype(int)
+            ok = ((uv[:, 0] >= 1) & (uv[:, 0] < hw - 1)
+                  & (uv[:, 1] >= 1) & (uv[:, 1] < hw - 1))
+            for du in (-1, 0, 1):
+                for dv in (-1, 0, 1):
+                    msk[uv[ok, 1] + dv, uv[ok, 0] + du] = 1
+            img[msk > 0] = rng.randint(60, 200, 3)
+            imageio.imwrite(img_path, img)
+            msk_path = f"{root}/mask_cihp/{img_rel}"[:-4] + ".png"
+            os.makedirs(os.path.dirname(msk_path), exist_ok=True)
+            imageio.imwrite(msk_path, msk)
+            frame_ims.append(img_rel)
+        ims.append({"ims": frame_ims})
+
+    np.save(f"{root}/annots.npy", {"cams": cams, "ims": ims},
+            allow_pickle=True)
+    return root
+
+
+def make_fake_snapshot(root, n_frames=3, hw=64, n_verts=400, seed=1):
+    """People-Snapshot layout: camera.pkl, params.npy, image/, mask/,
+    vertices/."""
+    os.makedirs(f"{root}/image", exist_ok=True)
+    os.makedirs(f"{root}/mask", exist_ok=True)
+    os.makedirs(f"{root}/vertices", exist_ok=True)
+    rng = np.random.RandomState(seed)
+    base = ellipsoid_vertices(n_verts, radii=(0.3, 0.8, 0.15), seed=seed)
+
+    with open(f"{root}/camera.pkl", "wb") as f:
+        pickle.dump({"camera_f": np.array([60.0, 60.0]),
+                     "camera_c": np.array([hw / 2, hw / 2]),
+                     "camera_k": np.zeros(5)}, f)
+
+    K = np.array([[60.0, 0, hw / 2], [0, 60.0, hw / 2], [0, 0, 1]])
+    pose = np.zeros((n_frames, 72))
+    trans = np.zeros((n_frames, 3))
+    for i in range(n_frames):
+        pose[i, :3] = [0, 0.1 * i, 0]
+        trans[i] = [0.01 * i, 0.1, 3.0]   # body in front of the camera (z>0)
+        import cv2
+        R = cv2.Rodrigues(pose[i, :3])[0]
+        wxyz = (base @ R.T + trans[i]).astype(np.float32)
+        np.save(f"{root}/vertices/{i}.npy", wxyz)
+
+        cam_pts = wxyz  # camera at origin, identity R
+        uv = cam_pts @ K.T
+        uv = (uv[:, :2] / uv[:, 2:]).astype(int)
+        msk = np.zeros((hw, hw), np.uint8)
+        ok = ((uv[:, 0] >= 1) & (uv[:, 0] < hw - 1)
+              & (uv[:, 1] >= 1) & (uv[:, 1] < hw - 1))
+        for du in (-1, 0, 1):
+            for dv in (-1, 0, 1):
+                msk[uv[ok, 1] + dv, uv[ok, 0] + du] = 1
+        img = np.zeros((hw, hw, 3), np.uint8)
+        img[msk > 0] = rng.randint(60, 200, 3)
+        imageio.imwrite(f"{root}/image/{i}.jpg", img)
+        imageio.imwrite(f"{root}/mask/{i}.png", msk)
+
+    np.save(f"{root}/params.npy", {"pose": pose, "trans": trans},
+            allow_pickle=True)
+    return root

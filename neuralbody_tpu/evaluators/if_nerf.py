@@ -1,0 +1,106 @@
+"""Novel-view PSNR/SSIM evaluator.
+
+Mirrors the reference evaluation protocol exactly (ref: lib/evaluators/
+if_nerf.py:9-91): rays are re-assembled into an H x W image via the
+mask_at_box hit mask; PSNR over the masked pixels (or the whole image when
+eval_whole_img), SSIM on the cv2.boundingRect crop (or whole image); writes
+comparison PNG pairs and metrics.npy.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..config import register
+from .metrics import psnr, ssim
+
+try:
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+
+@register("evaluator", "if_nerf")
+class Evaluator:
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.mse, self.psnr, self.ssim = [], [], []
+
+    def _assemble(self, rays_rgb, mask_at_box, H, W):
+        img = np.zeros((H, W, 3)) + int(self.cfg.white_bkgd)
+        img[mask_at_box.reshape(H, W)] = rays_rgb
+        return img
+
+    def evaluate(self, output, device_batch, meta):
+        cfg = self.cfg
+        n_valid = int(np.asarray(device_batch["ray_mask"][0]).sum())
+        rgb_pred = np.asarray(output["rgb_map"][0])[:n_valid]
+        rgb_gt = np.asarray(device_batch["rgb"][0])[:n_valid]
+
+        H, W = meta["img_hw"]
+        mask_at_box = np.asarray(meta["mask_at_box"])
+        img_pred = self._assemble(rgb_pred, mask_at_box, H, W)
+        img_gt = self._assemble(rgb_gt, mask_at_box, H, W)
+
+        if cfg.eval_whole_img:
+            mse = np.mean((img_pred - img_gt) ** 2)
+            psnr_v = psnr(img_pred, img_gt)
+        else:
+            mse = np.mean((rgb_pred - rgb_gt) ** 2)
+            psnr_v = psnr(rgb_pred, rgb_gt)
+        self.mse.append(mse)
+        self.psnr.append(psnr_v)
+
+        sp, sg = img_pred, img_gt
+        if not cfg.eval_whole_img:
+            x, y, w, h = cv2.boundingRect(
+                mask_at_box.reshape(H, W).astype(np.uint8))
+            sp = img_pred[y:y + h, x:x + w]
+            sg = img_gt[y:y + h, x:x + w]
+        self.ssim.append(ssim(sp, sg, multichannel=True))
+
+        self._write_comparison(img_pred, img_gt, meta)
+
+    def _write_comparison(self, img_pred, img_gt, meta):
+        result_dir = os.path.join(self.cfg.result_dir, "comparison")
+        os.makedirs(result_dir, exist_ok=True)
+        fi = int(meta.get("frame_index", 0))
+        vi = int(meta.get("cam_ind", 0))
+        cv2.imwrite(f"{result_dir}/frame{fi:04d}_view{vi:04d}.png",
+                    (img_pred[..., ::-1] * 255))
+        cv2.imwrite(f"{result_dir}/frame{fi:04d}_view{vi:04d}_gt.png",
+                    (img_gt[..., ::-1] * 255))
+
+    def summarize(self):
+        result_dir = self.cfg.result_dir
+        os.makedirs(result_dir, exist_ok=True)
+        metrics = {"mse": self.mse, "psnr": self.psnr, "ssim": self.ssim}
+        np.save(os.path.join(result_dir, "metrics.npy"), metrics)
+        out = {k: float(np.mean(v)) if v else float("nan")
+               for k, v in metrics.items()}
+        print(f"mse: {out['mse']}")
+        print(f"psnr: {out['psnr']}")
+        print(f"ssim: {out['ssim']}")
+        self.mse, self.psnr, self.ssim = [], [], []
+        return out
+
+
+@register("evaluator", "if_nerf_mesh")
+class MeshEvaluator:
+    """Dump thresholded density points (ref: lib/evaluators/if_nerf_mesh.py)."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+
+    def evaluate(self, output, device_batch, meta):
+        cube = output["cube"]
+        result_dir = os.path.join(self.cfg.result_dir, "mesh")
+        os.makedirs(result_dir, exist_ok=True)
+        i = int(meta.get("frame_index", 0))
+        inside = cube > self.cfg.mesh_th
+        np.save(os.path.join(result_dir, f"{i:04d}.npy"),
+                np.argwhere(inside))
+
+    def summarize(self):
+        return {}

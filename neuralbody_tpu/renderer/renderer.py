@@ -129,15 +129,19 @@ def render_rays(params, batch, settings: RenderSettings, key=None,
             del out["weights"]  # [R,S] map is bulky; recompute if needed
             return out
 
-        nc = R // s.chunk_rays
+        chunk = min(s.chunk_rays, R)
+        if R % chunk != 0:
+            raise ValueError(
+                f"ray count {R} must be a multiple of chunk_rays {chunk}")
+        nc = R // chunk
         ck = (jax.random.split(key, nc) if key is not None
               else jnp.zeros((nc, 2), jnp.uint32))
 
         chunks = (
-            ray_o[b].reshape(nc, s.chunk_rays, 3),
-            ray_d[b].reshape(nc, s.chunk_rays, 3),
-            batch["near"][b].reshape(nc, s.chunk_rays),
-            batch["far"][b].reshape(nc, s.chunk_rays),
+            ray_o[b].reshape(nc, chunk, 3),
+            ray_d[b].reshape(nc, chunk, 3),
+            batch["near"][b].reshape(nc, chunk),
+            batch["far"][b].reshape(nc, chunk),
             ck,
         )
         if nc == 1:

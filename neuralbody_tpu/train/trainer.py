@@ -1,0 +1,132 @@
+"""Training harness: the epoch loop around the jitted sharded step.
+
+Plays the role of the reference Trainer + train_net.py (ref: lib/train/
+trainers/trainer.py:37-113, train_net.py:18-63): iterate epochs, run the
+sharded train step per batch, log with the recorder, checkpoint on the
+reference cadence (save_ep / save_latest_ep), and run evaluation every
+eval_ep. Multi-host: each host feeds its own data shard; params/grads are
+replicated/psum'd by GSPMD; host 0 writes checkpoints and logs.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import build
+from ..datasets.loader import make_data_loader, make_dataset
+from ..models.latent_xyzc import ModelStatic
+from ..models.sparse_conv_net import EncoderStatic
+from ..parallel.mesh import make_mesh, shard_batch
+from ..parallel.train import make_sharded_train_step
+from .. import evaluators, renderer  # noqa: F401  (registers plugins)
+from .checkpoint import load_checkpoint, save_checkpoint
+from .optimizer import make_optimizer
+from .recorder import Recorder, Timer
+
+
+class Trainer:
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.is_primary = jax.process_index() == 0
+        self.num_hosts = jax.process_count()
+        self.host_id = jax.process_index()
+
+        self.train_dataset = make_dataset(cfg, "train")
+        geo = self.train_dataset.geo
+        self.model_static = ModelStatic(
+            encoder=EncoderStatic(out_sh=geo.out_sh, site_caps=geo.site_caps),
+            xyz_res=cfg.xyz_res, view_res=cfg.view_res)
+        self.settings = build("renderer", cfg.renderer_module,
+                              cfg, self.model_static)
+
+        init_fn, self.model = build("network", cfg.network_module, cfg)
+        self.params, self.bn_stats = init_fn(jax.random.PRNGKey(0))
+
+        self.tx, self.lr_schedule = make_optimizer(cfg)
+        self.opt_state = self.tx.init(self.params)
+
+        self.mesh = make_mesh(cfg.tpu.num_devices)
+        self._step = None
+
+        self.recorder = Recorder(cfg, self.is_primary)
+        self.evaluator = build("evaluator", cfg.evaluator_module, cfg)
+
+    # -- checkpoint -------------------------------------------------------
+    def resume(self):
+        (self.params, self.bn_stats, self.opt_state, rec_state,
+         begin_epoch) = load_checkpoint(
+            self.cfg.trained_model_dir, self.params, self.bn_stats,
+            self.opt_state, resume=self.cfg.resume)
+        if rec_state:
+            self.recorder.load_state_dict(rec_state)
+        return begin_epoch
+
+    def save(self, epoch, latest=False):
+        save_checkpoint(
+            self.cfg.trained_model_dir, epoch, self.params, self.bn_stats,
+            self.opt_state, self.recorder.state_dict(), latest=latest,
+            is_primary=self.is_primary)
+
+    # -- train ------------------------------------------------------------
+    def train_epoch(self, epoch):
+        cfg = self.cfg
+        loader = make_data_loader(
+            cfg, "train", dataset=self.train_dataset, epoch=epoch,
+            num_hosts=self.num_hosts, host_id=self.host_id)
+        n_iter = len(loader)
+        timer = Timer()
+        key = jax.random.PRNGKey(epoch * 100003 + self.host_id)
+
+        for it, (device_batch, meta) in enumerate(loader):
+            self.recorder.data_time.update(timer.tick())
+            key, sub = jax.random.split(key)
+            batch = shard_batch(self.mesh, device_batch)
+            if self._step is None:
+                self._step = make_sharded_train_step(
+                    self.mesh, self.settings, self.tx, batch)
+            (self.params, self.bn_stats, self.opt_state,
+             stats) = self._step(self.params, self.bn_stats, self.opt_state,
+                                 batch, sub)
+            self.recorder.step += 1
+            self.recorder.batch_time.update(timer.tick())
+
+            if (it + 1) % cfg.log_interval == 0 and self.is_primary:
+                self.recorder.update(
+                    {k: float(v) for k, v in stats.items()})
+                lr = float(self.lr_schedule(self.recorder.step))
+                print(self.recorder.status_line(epoch, it + 1, n_iter, lr),
+                      flush=True)
+            if (it + 1) % cfg.record_interval == 0:
+                self.recorder.record("train")
+
+    def fit(self):
+        cfg = self.cfg
+        begin = self.resume()
+        for epoch in range(begin, cfg.train.epoch):
+            self.recorder.epoch = epoch
+            self.train_epoch(epoch)
+
+            if (epoch + 1) % cfg.save_ep == 0:
+                self.save(epoch)
+            if (epoch + 1) % cfg.save_latest_ep == 0:
+                self.save(epoch, latest=True)
+            if (epoch + 1) % cfg.eval_ep == 0 and not cfg.skip_eval:
+                self.validate()
+        self.save(cfg.train.epoch - 1, latest=True)
+        return self.params, self.bn_stats
+
+    # -- eval -------------------------------------------------------------
+    def validate(self):
+        cfg = self.cfg
+        from .step import eval_step
+        loader = make_data_loader(cfg, "test")
+        for device_batch, meta in loader:
+            batch = jax.tree.map(jnp.asarray, device_batch)
+            ret = eval_step(self.params, batch, self.settings)
+            if self.is_primary:
+                self.evaluator.evaluate(
+                    jax.tree.map(np.asarray, ret), device_batch, meta)
+        if self.is_primary:
+            return self.evaluator.summarize()

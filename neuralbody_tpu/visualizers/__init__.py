@@ -1,0 +1,1 @@
+from . import visualizers  # noqa: F401  (registers plugins)

@@ -1,0 +1,128 @@
+"""Tool dispatch entry point (mirrors reference run.py):
+
+    python run.py --type dataset|network|evaluate|visualize --cfg_file ... opts
+
+dataset:   iterate the data loader (pipeline smoke test, ref run.py:4-11)
+network:   time forward renders (perf smoke, ref run.py:14-38)
+evaluate:  PSNR/SSIM metrics on held-out views / unseen poses (ref :41-69)
+visualize: demo renders per the vis_* mode overlays (ref :72-123)
+"""
+import time
+
+
+def _setup():
+    from neuralbody_tpu.config import make_cfg_from_args
+    cfg, args = make_cfg_from_args()
+    cfg.perturb = 0  # deterministic samples at tool time (ref run.py:50)
+    return cfg, args
+
+
+def _build_eval_state(cfg):
+    import jax
+
+    from neuralbody_tpu.config import build
+    from neuralbody_tpu import datasets, evaluators, renderer, visualizers  # noqa: F401
+    from neuralbody_tpu.datasets.loader import make_data_loader, make_dataset
+    from neuralbody_tpu.models.latent_xyzc import ModelStatic
+    from neuralbody_tpu.models.sparse_conv_net import EncoderStatic
+    from neuralbody_tpu.train.checkpoint import load_params
+
+    dataset = make_dataset(cfg, "test")
+    geo = dataset.geo
+    model_static = ModelStatic(
+        encoder=EncoderStatic(out_sh=geo.out_sh, site_caps=geo.site_caps),
+        xyz_res=cfg.xyz_res, view_res=cfg.view_res)
+    settings = build("renderer", cfg.renderer_module, cfg, model_static)
+
+    init_fn, _ = build("network", cfg.network_module, cfg)
+    params, bn_stats = init_fn(jax.random.PRNGKey(0))
+    params, bn_stats, _ = load_params(
+        cfg.trained_model_dir, params, bn_stats, epoch=cfg.test.epoch)
+
+    loader = make_data_loader(cfg, "test", dataset=dataset)
+    return params, settings, loader
+
+
+def run_dataset(cfg):
+    from neuralbody_tpu import datasets  # noqa: F401
+    from neuralbody_tpu.datasets.loader import make_data_loader
+    loader = make_data_loader(cfg, "train")
+    for i, (batch, meta) in enumerate(loader):
+        if i % 10 == 0:
+            print(f"batch {i}: {batch['rgb'].shape[1]} rays")
+    print("dataset OK")
+
+
+def run_network(cfg):
+    import jax
+    import jax.numpy as jnp
+
+    from neuralbody_tpu.train.step import eval_step
+
+    params, settings, loader = _build_eval_state(cfg)
+    times = []
+    for i, (device_batch, meta) in enumerate(loader):
+        batch = jax.tree.map(jnp.asarray, device_batch)
+        t0 = time.perf_counter()
+        ret = eval_step(params, batch, settings)
+        jax.block_until_ready(ret["rgb_map"])
+        if i > 0:  # skip compile
+            times.append(time.perf_counter() - t0)
+        if i >= 10:
+            break
+    import numpy as np
+    print(f"forward: {np.mean(times):.4f}s/batch over {len(times)} batches")
+
+
+def run_evaluate(cfg):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from neuralbody_tpu.config import build
+    from neuralbody_tpu.train.step import eval_step
+
+    params, settings, loader = _build_eval_state(cfg)
+    evaluator = build("evaluator", cfg.evaluator_module, cfg)
+    for device_batch, meta in loader:
+        batch = jax.tree.map(jnp.asarray, device_batch)
+        ret = eval_step(params, batch, settings)
+        evaluator.evaluate(jax.tree.map(np.asarray, ret), device_batch, meta)
+    return evaluator.summarize()
+
+
+def run_visualize(cfg):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from neuralbody_tpu.config import build
+    from neuralbody_tpu.renderer.renderer import render_density_grid
+    from neuralbody_tpu.train.step import eval_step
+
+    params, settings, loader = _build_eval_state(cfg)
+    visualizer = build("visualizer", cfg.visualizer_module, cfg)
+    for device_batch, meta in loader:
+        batch = jax.tree.map(jnp.asarray, device_batch)
+        if cfg.vis_mesh:
+            from neuralbody_tpu.renderer.mesh import extract_mesh
+            output = extract_mesh(params, batch, meta, settings, cfg)
+        else:
+            output = jax.tree.map(
+                np.asarray, eval_step(params, batch, settings))
+        visualizer.visualize(output, device_batch, meta)
+
+
+def main():
+    cfg, args = _setup()
+    runner = {
+        "dataset": run_dataset,
+        "network": run_network,
+        "evaluate": run_evaluate,
+        "visualize": run_visualize,
+    }[args.type]
+    runner(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -49,6 +49,7 @@ def default_cfg() -> CfgNode:
     cfg.human = 313
     cfg.training_view = [0, 6, 12, 18]
     cfg.begin_ith_frame = 0
+    cfg.ith_frame = 0
     cfg.num_train_frame = 1
     cfg.num_novel_pose_frame = 1000
     cfg.num_render_frame = -1

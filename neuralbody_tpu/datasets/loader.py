@@ -17,7 +17,8 @@ from ..config import build, register, resolve
 from . import samplers
 
 DEVICE_KEYS = ("geom", "rgb", "ray_o", "ray_d", "near", "far", "ray_mask",
-               "R", "Th", "bounds", "latent_index", "Ks", "RT", "msks", "pts")
+               "R", "Th", "bounds", "latent_index", "Ks", "RT", "msks", "pts",
+               "R0_snap", "Th0_snap", "K")
 
 
 def pad_to(x, n, axis=0):

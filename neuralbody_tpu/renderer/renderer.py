@@ -35,6 +35,7 @@ class RenderSettings(NamedTuple):
     raw_noise_std: float = 0.0
     chunk_rays: int = 2048
     hull_views: int = 0      # >0: cull against this many source-view masks
+    hull_mode: str = "multi"  # "multi" (mmsk) or "snapshot" (msk)
     img_hw: tuple = (512, 512)
 
 
@@ -66,6 +67,20 @@ def hull_inside_mask(wpts, Ks, RT, msks, img_hw):
 
     inside = jax.vmap(one_view)(Ks, RT, msks)       # [V, N]
     return jnp.all(inside, axis=0)
+
+
+def snapshot_hull_mask(wpts, frame, R0, Th0, K, RT, msk, img_hw):
+    """Monocular hull: world -> SMPL -> snapshot world -> mask lookup
+    (ref: if_clight_renderer_msk.py:12-49)."""
+    H, W = img_hw
+    can_pts = jnp.matmul(wpts - jnp.reshape(frame["Th"], (1, 3)), frame["R"])
+    pts = can_pts @ R0.T + Th0
+    cam = pts @ RT[:3, :3].T + RT[:3, 3]
+    uvw = cam @ K.T
+    uv = uvw[:, :2] / uvw[:, 2:]
+    ui = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), 0, W - 1)
+    vi = jnp.clip(jnp.round(uv[:, 1]).astype(jnp.int32), 0, H - 1)
+    return msk[vi, ui] > 0
 
 
 def render_rays(params, batch, settings: RenderSettings, key=None,
@@ -104,7 +119,9 @@ def render_rays(params, batch, settings: RenderSettings, key=None,
                 ro, rd, near, far, s.n_samples, key=ck,
                 perturb=(s.perturb and train),
             )
-            viewdir = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+            # padded rays have rd=0; clamp to avoid NaN propagation
+            viewdir = rd / jnp.maximum(
+                jnp.linalg.norm(rd, axis=-1, keepdims=True), 1e-8)
             n_ray = ro.shape[0]
             wpts = pts.reshape(n_ray * s.n_samples, 3)
             vdir = jnp.repeat(viewdir, s.n_samples, axis=0)
@@ -114,10 +131,15 @@ def render_rays(params, batch, settings: RenderSettings, key=None,
             )
 
             if s.hull_views > 0:
-                inside = hull_inside_mask(
-                    wpts, batch["Ks"][b], batch["RT"][b], batch["msks"][b],
-                    s.img_hw,
-                )
+                if s.hull_mode == "snapshot":
+                    inside = snapshot_hull_mask(
+                        wpts, frame, batch["R0_snap"][b],
+                        batch["Th0_snap"][b], batch["K"][b],
+                        batch["RT"][b][0], batch["msks"][b][0], s.img_hw)
+                else:
+                    inside = hull_inside_mask(
+                        wpts, batch["Ks"][b], batch["RT"][b],
+                        batch["msks"][b], s.img_hw)
                 raw = raw * inside[:, None]
 
             raw = raw.reshape(n_ray, s.n_samples, 4)
@@ -222,7 +244,8 @@ def make_clight_mmsk(cfg, model_static):
 
 @register("renderer", "if_clight_renderer_msk")
 def make_clight_msk(cfg, model_static):
-    return _base_settings(cfg, model_static, hull_views=1)
+    return _base_settings(cfg, model_static, hull_views=1,
+                          hull_mode="snapshot")
 
 
 @register("renderer", "if_mesh_renderer")

@@ -53,3 +53,40 @@ def eval_step(params, batch, settings: RenderSettings):
     """Deterministic forward render (perturb off; ref run.py:50)."""
     ret, _ = render_rays(params, batch, settings, key=None, train=False)
     return ret
+
+
+# ---------------------------------------------------------------------------
+# NeRF-baseline steps (coarse+fine with auxiliary coarse loss,
+# ref: lib/train/trainers/nerf.py)
+# ---------------------------------------------------------------------------
+
+def nerf_loss_fn(params, batch, settings, key):
+    from ..renderer.volume_renderer import render_nerf_rays
+    ret, _ = render_nerf_rays(params, batch, settings, key=key, train=True)
+    img_loss = masked_mse(ret["rgb_map"], batch["rgb"], batch["ray_mask"])
+    loss = img_loss
+    scalar_stats = {"img_loss": img_loss}
+    if "rgb0" in ret:
+        img_loss0 = masked_mse(ret["rgb0"], batch["rgb"], batch["ray_mask"])
+        loss = loss + img_loss0
+        scalar_stats["img_loss0"] = img_loss0
+    scalar_stats["psnr"] = -10.0 * jnp.log10(img_loss)
+    return loss, (ret, scalar_stats)
+
+
+@partial(jax.jit, static_argnames=("settings", "tx"),
+         donate_argnames=("params", "opt_state"))
+def nerf_train_step(params, opt_state, batch, key, settings, tx):
+    (loss, (_, scalar_stats)), grads = jax.value_and_grad(
+        nerf_loss_fn, has_aux=True)(params, batch, settings, key)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    scalar_stats["loss"] = loss
+    return params, opt_state, scalar_stats
+
+
+@partial(jax.jit, static_argnames=("settings",))
+def nerf_eval_step(params, batch, settings):
+    from ..renderer.volume_renderer import render_nerf_rays
+    ret, _ = render_nerf_rays(params, batch, settings, key=None, train=False)
+    return ret

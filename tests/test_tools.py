@@ -1,0 +1,104 @@
+"""Offline tooling tests: vertex extraction, annots, occupancy, rasterizer."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+class TestExtractVertices:
+    def test_extract_matches_direct_smpl(self, tmp_path):
+        import pickle
+        import jax.numpy as jnp
+        from neuralbody_tpu.utils import smpl
+
+        model = smpl.make_synthetic_model(n_verts=100, n_joints=6, seed=2)
+        # save as an SMPL-style pickle
+        pkl = {
+            "v_template": model["v_template"],
+            "shapedirs": model["shapedirs"],
+            "posedirs": model["posedirs"].T.reshape(100, 3, -1),
+            "J_regressor": model["J_regressor"],
+            "weights": model["weights"],
+            "kintree_table": np.stack(
+                [model["parents"], np.arange(6)]).astype(np.int64),
+            "f": model["faces"],
+        }
+        model_path = str(tmp_path / "SMPL_TEST.pkl")
+        with open(model_path, "wb") as f:
+            pickle.dump(pkl, f)
+
+        data_root = tmp_path / "seq"
+        (data_root / "params").mkdir(parents=True)
+        rng = np.random.RandomState(0)
+        for i in range(2):
+            np.save(str(data_root / "params" / f"{i}.npy"),
+                    {"poses": rng.randn(1, 18) * 0.2,
+                     "shapes": rng.randn(1, 10) * 0.3,
+                     "Rh": rng.randn(1, 3) * 0.2,
+                     "Th": rng.randn(1, 3)})
+
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools/extract_vertices.py"),
+             "--data_root", str(data_root), "--model_path", model_path],
+            capture_output=True, text=True, cwd=REPO,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        assert r.returncode == 0, r.stderr
+
+        for i in range(2):
+            got = np.load(str(data_root / "vertices" / f"{i}.npy"))
+            p = np.load(str(data_root / "params" / f"{i}.npy"),
+                        allow_pickle=True).item()
+            want, _ = smpl.smpl_forward(
+                model, jnp.asarray(p["poses"].reshape(-1)),
+                jnp.asarray(p["shapes"].reshape(-1)[:10]),
+                Rh=jnp.asarray(p["Rh"].reshape(3)),
+                Th=jnp.asarray(p["Th"].reshape(3)))
+            np.testing.assert_allclose(got, np.asarray(want), atol=1e-5)
+
+
+class TestOccupancy:
+    def test_pack_roundtrip(self, tmp_path):
+        from neuralbody_tpu.utils.mesh_io import save_ply
+
+        rng = np.random.RandomState(1)
+        pts = rng.randn(500, 3).astype(np.float32)
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        ply = str(tmp_path / "p.ply")
+        out = str(tmp_path / "occ.npz")
+        save_ply(ply, pts)
+
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools/dataset_tools.py"),
+             "occupancy", "--ply", ply, "--out", out, "--res", "32"],
+            capture_output=True, text=True, cwd=REPO,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        assert r.returncode == 0, r.stderr
+
+        data = np.load(out)
+        occ = np.unpackbits(data["compressed_occupancies"])[:32 ** 3]
+        occ = occ.reshape(32, 32, 32)
+        assert occ.sum() > 0
+        assert data["bounds"].shape == (2, 3)
+
+
+class TestRasterizer:
+    def test_renders_cube(self):
+        sys.path.insert(0, os.path.join(REPO, "tools"))
+        from render_mesh import rasterize
+
+        # unit cube mesh
+        v = np.array([[x, y, z] for x in (0, 1) for y in (0, 1)
+                      for z in (0, 1)], np.float32)
+        f = np.array([
+            [0, 1, 3], [0, 3, 2], [4, 5, 7], [4, 7, 6],
+            [0, 1, 5], [0, 5, 4], [2, 3, 7], [2, 7, 6],
+            [0, 2, 6], [0, 6, 4], [1, 3, 7], [1, 7, 5],
+        ])
+        img = rasterize(v, f, size=64)
+        assert img.shape == (64, 64, 3)
+        assert img.max() > 0.1          # something rendered
+        assert (img.sum(-1) == 0).any()  # background remains

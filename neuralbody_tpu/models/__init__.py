@@ -1,4 +1,4 @@
-from . import latent_xyzc, nerf, sparse_conv_net  # noqa: F401  (registers plugins)
+from . import latent_xyzc, nerf, sparse_conv_net, tpose_xyzc  # noqa: F401  (registers plugins)
 from .sparse_conv_net import EncoderStatic
 from .latent_xyzc import ModelStatic
 

@@ -15,15 +15,18 @@ transpose) and to the coordinates (through the trilinear weights).
 import jax.numpy as jnp
 
 
-def grid_sample_3d(volume, coords):
+def grid_sample_3d(volume, coords, padding_mode="zeros"):
     """Sample a volume at continuous normalized coordinates.
 
     Args:
       volume: [D, H, W, C] feature volume.
       coords: [N, 3] xyz coordinates in [-1, 1].
+      padding_mode: 'zeros' (out-of-range corners contribute 0) or 'border'
+        (coords clamped to the edge, matching torch padding_mode='border' as
+        used for blend-weight grids, ref: lib/utils/blend_utils.py:45-48).
 
     Returns:
-      [N, C] trilinearly interpolated features (zeros outside).
+      [N, C] trilinearly interpolated features.
     """
     D, H, W, C = volume.shape
     x, y, z = coords[:, 0], coords[:, 1], coords[:, 2]
@@ -32,6 +35,11 @@ def grid_sample_3d(volume, coords):
     fx = (x + 1.0) * 0.5 * (W - 1)
     fy = (y + 1.0) * 0.5 * (H - 1)
     fz = (z + 1.0) * 0.5 * (D - 1)
+
+    if padding_mode == "border":
+        fx = jnp.clip(fx, 0.0, W - 1)
+        fy = jnp.clip(fy, 0.0, H - 1)
+        fz = jnp.clip(fz, 0.0, D - 1)
 
     x0 = jnp.floor(fx)
     y0 = jnp.floor(fy)

@@ -86,6 +86,46 @@ class Evaluator:
         return out
 
 
+@register("evaluator", "neural_volume")
+class NeuralVolumeEvaluator(Evaluator):
+    """Score a competitor method's SAVED renders against GT with identical
+    masking (ref: lib/evaluators/neural_volume.py:37-84): reads
+    frame_i/pred_k.jpg from result_dir instead of using network output.
+    Pairs with the if_nerf_test visualizer's file layout."""
+
+    def __init__(self, cfg):
+        super().__init__(cfg)
+        self.pred_root = cfg.get(
+            "pred_result_dir",
+            os.path.join("data/result/neural_volumes", f"{cfg.human}_nv"))
+
+    def evaluate(self, output, device_batch, meta):
+        import imageio.v2 as imageio
+
+        cfg = self.cfg
+        i = int(meta.get("frame_index", 0))
+        cam_ind = int(meta.get("cam_ind", 0))
+        pred_path = os.path.join(self.pred_root, f"frame_{i}",
+                                 f"pred_{cam_ind + 1}.jpg")
+
+        H, W = meta["img_hw"]
+        mask_at_box = np.asarray(meta["mask_at_box"]).reshape(H, W)
+        n_valid = int(np.asarray(device_batch["ray_mask"][0]).sum())
+        rgb_gt = np.asarray(device_batch["rgb"][0])[:n_valid]
+        img_gt = np.zeros((H, W, 3))
+        img_gt[mask_at_box] = rgb_gt
+
+        img_pred = imageio.imread(pred_path).astype(np.float32) / 255.0
+        img_pred[mask_at_box != 1] = 0
+        rgb_pred = img_pred[mask_at_box]
+
+        self.mse.append(np.mean((rgb_pred - rgb_gt) ** 2))
+        self.psnr.append(psnr(rgb_pred, rgb_gt))
+        x, y, w, h = cv2.boundingRect(mask_at_box.astype(np.uint8))
+        self.ssim.append(ssim(img_pred[y:y + h, x:x + w],
+                              img_gt[y:y + h, x:x + w], multichannel=True))
+
+
 @register("evaluator", "if_nerf_mesh")
 class MeshEvaluator:
     """Dump thresholded density points (ref: lib/evaluators/if_nerf_mesh.py)."""

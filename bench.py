@@ -26,7 +26,7 @@ def main():
     from neuralbody_tpu.models.latent_xyzc import ModelStatic
     from neuralbody_tpu.models.sparse_conv_net import EncoderStatic
     from neuralbody_tpu.renderer.renderer import RenderSettings
-    from neuralbody_tpu.train.step import train_step
+    from neuralbody_tpu.train.step import train_step_scan
     from neuralbody_tpu.utils.synthetic import make_batch
 
     n_rays, n_samples = 1024, 64
@@ -45,27 +45,26 @@ def main():
     tx = optax.chain(optax.clip(40.0), optax.adam(5e-4))
     opt_state = tx.init(params)
 
-    key = jax.random.PRNGKey(1)
-
-    def run_step(params, bn_stats, opt_state, key):
-        key, sub = jax.random.split(key)
-        return train_step(params, bn_stats, opt_state, batch, sub,
-                          settings, tx), key
+    # production loop shape: G steps per dispatch via lax.scan
+    G = 8
+    batches = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (G,) + x.shape), batch)
+    keys = jax.random.split(jax.random.PRNGKey(1), G)
 
     # warmup/compile
-    (params, bn_stats, opt_state, stats), key = run_step(
-        params, bn_stats, opt_state, key)
+    params, bn_stats, opt_state, stats = train_step_scan(
+        params, bn_stats, opt_state, batches, keys, settings, tx)
     jax.block_until_ready(stats["loss"])
 
     n_iters = 20
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        (params, bn_stats, opt_state, stats), key = run_step(
-            params, bn_stats, opt_state, key)
+        params, bn_stats, opt_state, stats = train_step_scan(
+            params, bn_stats, opt_state, batches, keys, settings, tx)
     jax.block_until_ready(stats["loss"])
     dt = time.perf_counter() - t0
 
-    rays_per_s = n_rays * n_iters / dt
+    rays_per_s = n_rays * n_iters * G / dt
     print(json.dumps({
         "metric": "train_rays_per_s_per_chip",
         "value": round(rays_per_s, 1),

@@ -132,6 +132,7 @@ def default_cfg() -> CfgNode:
     # static dense grid shape (dhw); -1 = max over frames, padded to 32
     cfg.tpu.static_out_sh = [-1, -1, -1]
     cfg.tpu.chunk_rays = 2048        # rays per render chunk (ref 2048 pixels)
+    cfg.tpu.steps_per_dispatch = 4   # train steps fused per device dispatch
     cfg.tpu.mesh_pt_chunk = 2048 * 64  # points per mesh-density chunk
     cfg.tpu.compute_dtype = "float32"
     cfg.tpu.data_axis = "data"       # mesh axis name for ray/data parallelism

@@ -68,17 +68,18 @@ def init(key, num_train_frame: int, nv: int = 6890, code_dim: int = 16,
 # encoding
 # ---------------------------------------------------------------------------
 
-def encode_sparse_voxels(params, geom, static: ModelStatic):
-    """Vertex codes -> 4 dense multi-scale feature volumes.
+def encode_sparse_voxels(params, geom, static: ModelStatic, densify=True):
+    """Vertex codes -> multi-scale feature volumes (dense or site-list).
 
     geom: batched frame geometry (see ops.sparse_conv.build_frame_geometry),
-    each leaf [B, ...]. Returns (volumes, new_bn_stats).
+    each leaf [B, ...]. Returns (volumes | site_feats, new_bn_stats).
     """
     cap0 = static.encoder.site_caps[0]
     codes = jax.vmap(
         lambda vidx: scatter_vertex_codes(params["vertex_code"], vidx, cap0)
     )(geom["vert_idx"])
-    return sparse_conv_net.apply(params["xyzc_net"], codes, geom, static.encoder)
+    fn = sparse_conv_net.apply if densify else sparse_conv_net.apply_sites
+    return fn(params["xyzc_net"], codes, geom, static.encoder)
 
 
 # ---------------------------------------------------------------------------
@@ -114,6 +115,27 @@ def interpolate_features(grid_coords, volumes):
     )
 
 
+def get_dhw_vox(ppts, bounds, voxel_size):
+    """SMPL-frame points -> continuous full-res voxel coords (dhw order)."""
+    rev = jnp.array([2, 1, 0])
+    return (ppts[..., rev] - bounds[0][rev]) / jnp.asarray(
+        voxel_size, ppts.dtype)
+
+
+def interpolate_site_features(site_feats, index_vols, dhw_vox, static):
+    """Training interpolation path: gather site features through per-level
+    int32 index volumes (numerically equals grid_sample of the densified
+    volumes; backward is a tiny [S_l, C] scatter instead of dense-volume
+    traffic). site_feats/index_vols are per-level, single batch element."""
+    from ..ops.sparse_conv import site_trilinear_sample
+    outs = []
+    for lvl, (feats, ivol) in enumerate(zip(site_feats, index_vols), 1):
+        outs.append(site_trilinear_sample(
+            feats, ivol, dhw_vox, static.out_sh,
+            static.encoder.site_caps[lvl]))
+    return jnp.concatenate(outs, axis=-1)
+
+
 def _density_trunk(params, feat):
     net = jax.nn.relu(dense(params["fc_0"], feat))
     net = jax.nn.relu(dense(params["fc_1"], net))
@@ -132,12 +154,21 @@ def calculate_density(params, wpts, volumes, frame, static: ModelStatic,
 
 
 def calculate_density_color(params, wpts, viewdir, volumes, frame,
-                            static: ModelStatic, voxel_size):
+                            static: ModelStatic, voxel_size,
+                            index_vols=None):
     """wpts/viewdir [N, 3] -> raw [N, 4] (rgb logits + sigma)
-    (ref: latent_xyzc.py:91-126)."""
+    (ref: latent_xyzc.py:91-126).
+
+    volumes: dense volumes (index_vols None) or per-level site features
+    (index_vols given -> memory-light site-interp path).
+    """
     ppts = pts_to_can_pts(wpts, frame["R"], frame["Th"])
-    gc = get_grid_coords(ppts, frame["bounds"], voxel_size, static.out_sh)
-    feat = interpolate_features(gc, volumes)
+    if index_vols is not None:
+        dhw = get_dhw_vox(ppts, frame["bounds"], voxel_size)
+        feat = interpolate_site_features(volumes, index_vols, dhw, static)
+    else:
+        gc = get_grid_coords(ppts, frame["bounds"], voxel_size, static.out_sh)
+        feat = interpolate_features(gc, volumes)
 
     net = _density_trunk(params, feat)
     alpha = dense(params["alpha_fc"], net)

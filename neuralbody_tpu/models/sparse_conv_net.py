@@ -94,8 +94,8 @@ def _conv_bn_relu(layer, feats, table, mask):
     return jax.nn.relu(y) * mask[..., None], bn_batch
 
 
-def apply(params, codes, geom, static: EncoderStatic):
-    """Run the encoder.
+def apply_sites(params, codes, geom, static: EncoderStatic):
+    """Run the encoder, returning SITE-LIST features (no densification).
 
     Args:
       params: pytree from init().
@@ -105,8 +105,10 @@ def apply(params, codes, geom, static: EncoderStatic):
       static: EncoderStatic (hashable; jit static arg).
 
     Returns:
-      (volumes, new_batch_stats): volumes is a list of 4 dense feature
-      volumes [B, D_l, H_l, W_l, C_l] at strides 2/4/8/16.
+      (site_feats, new_batch_stats): site_feats is a list of 4 per-level
+      feature tables [B, S_l, C_l] (levels 1..4, strides 2/4/8/16) — the
+      training interpolation path samples these through int32 index volumes
+      so no dense float volume is ever materialized in the autodiff graph.
     """
     caps = static.site_caps
     masks = [
@@ -116,7 +118,7 @@ def apply(params, codes, geom, static: EncoderStatic):
 
     x = codes
     lvl = 0
-    volumes = []
+    site_feats = []
     new_stats = {}
     for name, kind, n, _, _ in ARCH:
         if kind == "down":
@@ -132,13 +134,39 @@ def apply(params, codes, geom, static: EncoderStatic):
         new_stats[name] = layer_stats
 
         if name in DENSE_AFTER:
-            lsh = static.level_sh(DENSE_AFTER[name])
-            vol = jax.vmap(scatter_dense, in_axes=(0, 0, None))(
-                x, geom[f"sites{lvl}"], lsh
-            )
-            volumes.append(vol)
+            site_feats.append(x)
 
-    return volumes, new_stats
+    return site_feats, new_stats
+
+
+def densify(site_feats, geom, static: EncoderStatic):
+    """Site features -> dense volumes [B, D_l, H_l, W_l, C_l] (.dense())."""
+    volumes = []
+    for i, x in enumerate(site_feats):
+        lvl = i + 1
+        lsh = static.level_sh(lvl)
+        volumes.append(jax.vmap(scatter_dense, in_axes=(0, 0, None))(
+            x, geom[f"sites{lvl}"], lsh))
+    return volumes
+
+
+def index_volumes(geom, static: EncoderStatic):
+    """Per-level int32 site-index volumes [B, D_l, H_l, W_l] (no grad)."""
+    from ..ops.sparse_conv import scatter_index_volume
+    vols = []
+    for lvl in range(1, 5):
+        lsh = static.level_sh(lvl)
+        cap = static.site_caps[lvl]
+        vols.append(jax.vmap(
+            scatter_index_volume, in_axes=(0, None, None)
+        )(geom[f"sites{lvl}"], lsh, cap))
+    return vols
+
+
+def apply(params, codes, geom, static: EncoderStatic):
+    """Encoder returning densified volumes (eval/mesh/parity path)."""
+    site_feats, new_stats = apply_sites(params, codes, geom, static)
+    return densify(site_feats, geom, static), new_stats
 
 
 def update_running_stats(stats, new_batch_stats, momentum=BN_MOMENTUM):

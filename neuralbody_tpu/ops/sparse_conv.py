@@ -263,3 +263,62 @@ def scatter_dense(feats, sites, out_sh_lvl):
     return vol.at[sites[:, 0], sites[:, 1], sites[:, 2]].add(
         feats, mode="drop"
     )
+
+
+def scatter_index_volume(sites, out_sh_lvl, cap):
+    """Site coords -> dense int32 volume of site-row indices.
+
+    Empty voxels hold `cap` (the zero row of a [cap+1, C] padded feature
+    table). Rebuilding this per step is one small int scatter; it carries no
+    gradient — the key to the memory-light interpolation path (site features
+    never materialize as dense float volumes during training).
+    """
+    vol = jnp.full(out_sh_lvl, cap, jnp.int32)
+    rows = jnp.arange(sites.shape[0], dtype=jnp.int32)
+    return vol.at[sites[:, 0], sites[:, 1], sites[:, 2]].set(
+        rows, mode="drop")
+
+
+def site_trilinear_sample(feats, index_vol, dhw_vox, out_sh, cap):
+    """Trilinear interpolation of SITE features through an index volume.
+
+    Numerically identical to zeros-padded align_corners grid_sample of the
+    densified volume (the reference semantics, latent_xyzc.py:62-72), but
+    backward is a scatter into [cap, C] instead of a dense volume.
+
+    Args:
+      feats: [cap, C] level site features (padded rows zero).
+      index_vol: [D_l, H_l, W_l] int32 from scatter_index_volume.
+      dhw_vox: [N, 3] continuous FULL-RES voxel coords (dhw order).
+      out_sh: full-res grid shape (static tuple).
+      cap: static site capacity (zero-row index).
+
+    Returns [N, C].
+    """
+    Dl, Hl, Wl = index_vol.shape
+    # reference normalization: gc = dhw/out_sh*2-1, then align_corners
+    # unnormalize by (size_l - 1)  =>  pos = dhw/out_sh * (size_l - 1)
+    scale = jnp.array([(Dl - 1), (Hl - 1), (Wl - 1)], dhw_vox.dtype) / \
+        jnp.array(out_sh, dhw_vox.dtype)
+    pos = dhw_vox * scale
+    f0 = jnp.floor(pos)
+    t = pos - f0
+    i0 = f0.astype(jnp.int32)
+
+    fpad = jnp.concatenate([feats, jnp.zeros_like(feats[:1])], axis=0)
+    flat_idx = index_vol.reshape(-1)
+    sizes = jnp.array([Dl, Hl, Wl], jnp.int32)
+
+    out = 0.0
+    for cd in (0, 1):
+        for ch in (0, 1):
+            for cw in (0, 1):
+                c = i0 + jnp.array([cd, ch, cw], jnp.int32)
+                w = (jnp.where(jnp.array([cd, ch, cw]) == 1, t, 1.0 - t)
+                     ).prod(axis=-1)
+                valid = jnp.all((c >= 0) & (c < sizes), axis=-1)
+                cc = jnp.clip(c, 0, sizes - 1)
+                lin = (cc[:, 0] * Hl + cc[:, 1]) * Wl + cc[:, 2]
+                rows = jnp.where(valid, flat_idx[lin], cap)
+                out = out + fpad[rows] * (w * valid)[:, None]
+    return out

@@ -37,6 +37,7 @@ class RenderSettings(NamedTuple):
     hull_views: int = 0      # >0: cull against this many source-view masks
     hull_mode: str = "multi"  # "multi" (mmsk) or "snapshot" (msk)
     img_hw: tuple = (512, 512)
+    site_interp: bool = True  # site-feature interpolation (memory-light)
 
 
 def _frame_info(batch, b):
@@ -107,8 +108,11 @@ def render_rays(params, batch, settings: RenderSettings, key=None,
     B, R = ray_o.shape[:2]
 
     volumes, new_stats = latent_xyzc.encode_sparse_voxels(
-        params, batch["geom"], s.model
+        params, batch["geom"], s.model, densify=not s.site_interp
     )
+    from ..models import sparse_conv_net
+    ivols = (sparse_conv_net.index_volumes(batch["geom"], s.model.encoder)
+             if s.site_interp else None)
 
     def render_batch_elem(b, vols):
         frame = _frame_info(batch, b)
@@ -127,7 +131,9 @@ def render_rays(params, batch, settings: RenderSettings, key=None,
             vdir = jnp.repeat(viewdir, s.n_samples, axis=0)
 
             raw = latent_xyzc.calculate_density_color(
-                params, wpts, vdir, vols, frame, s.model, s.voxel_size
+                params, wpts, vdir, vols, frame, s.model, s.voxel_size,
+                index_vols=(None if ivols is None
+                            else [v[b] for v in ivols]),
             )
 
             if s.hull_views > 0:

@@ -19,7 +19,7 @@ from ..datasets.loader import make_data_loader, make_dataset
 from ..models.latent_xyzc import ModelStatic
 from ..models.sparse_conv_net import EncoderStatic
 from ..parallel.mesh import make_mesh, shard_batch
-from ..parallel.train import make_sharded_train_step
+from ..parallel.train import make_sharded_scan_step
 from .. import evaluators, renderer  # noqa: F401  (registers plugins)
 from .checkpoint import load_checkpoint, save_checkpoint
 from .optimizer import make_optimizer
@@ -79,27 +79,50 @@ class Trainer:
         timer = Timer()
         key = jax.random.PRNGKey(epoch * 100003 + self.host_id)
 
-        for it, (device_batch, meta) in enumerate(loader):
-            self.recorder.data_time.update(timer.tick())
-            key, sub = jax.random.split(key)
-            batch = shard_batch(self.mesh, device_batch)
-            if self._step is None:
-                self._step = make_sharded_train_step(
-                    self.mesh, self.settings, self.tx, batch)
-            (self.params, self.bn_stats, self.opt_state,
-             stats) = self._step(self.params, self.bn_stats, self.opt_state,
-                                 batch, sub)
-            self.recorder.step += 1
-            self.recorder.batch_time.update(timer.tick())
+        G = max(1, int(cfg.tpu.get("steps_per_dispatch", 4)))
+        pending = []
+        it = 0
 
-            if (it + 1) % cfg.log_interval == 0 and self.is_primary:
+        def flush():
+            nonlocal it
+            if not pending:
+                return
+            g = len(pending)
+            stacked = jax.tree.map(
+                lambda *xs: np.stack(xs), *pending,
+                is_leaf=lambda x: not isinstance(x, dict))
+            batches = shard_batch(self.mesh, stacked)
+            nonlocal key
+            key, *subs = jax.random.split(key, g + 1)
+            keys = jnp.stack(subs)
+            if self._step is None or self._step[0] != g:
+                one = jax.tree.map(lambda x: x[0], stacked,
+                                   is_leaf=lambda x: not isinstance(x, dict))
+                self._step = (g, make_sharded_scan_step(
+                    self.mesh, self.settings, self.tx, one))
+            (self.params, self.bn_stats, self.opt_state,
+             stats) = self._step[1](self.params, self.bn_stats,
+                                    self.opt_state, batches, keys)
+            pending.clear()
+            self.recorder.step += g
+            it += g
+            self.recorder.batch_time.update(timer.tick() / g)
+
+            if it % cfg.log_interval < g and self.is_primary:
                 self.recorder.update(
-                    {k: float(v) for k, v in stats.items()})
+                    {k: float(np.asarray(v)[-1]) for k, v in stats.items()})
                 lr = float(self.lr_schedule(self.recorder.step))
-                print(self.recorder.status_line(epoch, it + 1, n_iter, lr),
+                print(self.recorder.status_line(epoch, it, n_iter, lr),
                       flush=True)
-            if (it + 1) % cfg.record_interval == 0:
+            if it % cfg.record_interval < g:
                 self.recorder.record("train")
+
+        for device_batch, meta in loader:
+            self.recorder.data_time.update(timer.tick())
+            pending.append(device_batch)
+            if len(pending) == G:
+                flush()
+        flush()
 
     def fit(self):
         cfg = self.cfg

@@ -31,21 +31,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def ray_sharded(mesh: Mesh) -> NamedSharding:
-    """[B, R, ...]: shard the ray axis across the data axis."""
-    return NamedSharding(mesh, P(None, DATA_AXIS))
+def ray_sharded(mesh: Mesh, stacked: bool = False) -> NamedSharding:
+    """[B, R, ...] (or stacked [G, B, R, ...]): shard the ray axis."""
+    spec = P(None, None, DATA_AXIS) if stacked else P(None, DATA_AXIS)
+    return NamedSharding(mesh, spec)
 
 
-def batch_shardings(mesh: Mesh, batch: dict) -> dict:
+def batch_shardings(mesh: Mesh, batch: dict, stacked: bool = False) -> dict:
     """Sharding pytree for a canonical batch: rays sharded, rest replicated.
 
     Ray-indexed arrays ([B, R, ...]) are sharded on R; frame geometry,
     transforms, and per-view mask stacks are replicated (every chip encodes
     the full feature volume, as every reference GPU does under DDP).
+    stacked=True handles scan batches with a leading G axis.
     """
     ray_keys = {"ray_o", "ray_d", "near", "far", "rgb", "ray_mask", "pts"}
     rep = replicated(mesh)
-    shard = ray_sharded(mesh)
+    shard = ray_sharded(mesh, stacked)
     return {
         k: (jax.tree.map(lambda _: rep, v) if isinstance(v, dict)
             else (shard if k in ray_keys else rep))
@@ -53,9 +55,9 @@ def batch_shardings(mesh: Mesh, batch: dict) -> dict:
     }
 
 
-def shard_batch(mesh: Mesh, batch: dict) -> dict:
+def shard_batch(mesh: Mesh, batch: dict, stacked: bool = False) -> dict:
     """Device-put a host batch with the canonical shardings."""
-    shardings = batch_shardings(mesh, batch)
+    shardings = batch_shardings(mesh, batch, stacked)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, s), batch, shardings,
         is_leaf=lambda x: not isinstance(x, dict),

@@ -57,14 +57,7 @@ def make_sharded_scan_step(mesh: Mesh, settings: RenderSettings,
     from ..train.step import _one_train_step
 
     rep = replicated(mesh)
-    b_shardings = batch_shardings(mesh, example_batch)
-    # prepend the scan axis to every batch sharding spec
-    scan_shardings = jax.tree.map(
-        lambda s: jax.sharding.NamedSharding(
-            mesh, jax.sharding.PartitionSpec(None, *s.spec)),
-        b_shardings,
-        is_leaf=lambda x: isinstance(x, jax.sharding.NamedSharding),
-    )
+    scan_shardings = batch_shardings(mesh, example_batch, stacked=True)
 
     def step(params, bn_stats, opt_state, batches, keys):
         def body(carry, xs):

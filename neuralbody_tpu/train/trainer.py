@@ -91,7 +91,7 @@ class Trainer:
             stacked = jax.tree.map(
                 lambda *xs: np.stack(xs), *pending,
                 is_leaf=lambda x: not isinstance(x, dict))
-            batches = shard_batch(self.mesh, stacked)
+            batches = shard_batch(self.mesh, stacked, stacked=True)
             nonlocal key
             key, *subs = jax.random.split(key, g + 1)
             keys = jnp.stack(subs)
@@ -125,11 +125,34 @@ class Trainer:
         flush()
 
     def fit(self):
+        """Epoch loop with preemption-safe checkpointing: SIGTERM/SIGINT
+        request a latest.ckpt write at the next epoch boundary (the
+        reference has no preemption handling; SURVEY.md §5)."""
+        import signal
+
         cfg = self.cfg
         begin = self.resume()
+        stop = {"flag": False}
+
+        def _request_stop(signum, frame):
+            stop["flag"] = True
+
+        prev = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                prev[sig] = signal.signal(sig, _request_stop)
+            except ValueError:
+                pass  # non-main thread
+
         for epoch in range(begin, cfg.train.epoch):
             self.recorder.epoch = epoch
             self.train_epoch(epoch)
+            if stop["flag"]:
+                self.save(epoch, latest=True)
+                for sig, h in prev.items():
+                    signal.signal(sig, h)
+                print(f"preempted: checkpointed epoch {epoch}", flush=True)
+                return self.params, self.bn_stats
 
             if (epoch + 1) % cfg.save_ep == 0:
                 self.save(epoch)
@@ -137,6 +160,8 @@ class Trainer:
                 self.save(epoch, latest=True)
             if (epoch + 1) % cfg.eval_ep == 0 and not cfg.skip_eval:
                 self.validate()
+        for sig, h in prev.items():
+            signal.signal(sig, h)
         self.save(cfg.train.epoch - 1, latest=True)
         return self.params, self.bn_stats
 

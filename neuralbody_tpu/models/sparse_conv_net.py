@@ -18,8 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.sparse_conv import (
-    gather_taps, masked_batch_norm, scatter_dense, site_mask,
-    sparse_conv_matmul,
+    down_conv, masked_batch_norm, scatter_dense, site_mask, subm_conv,
 )
 
 # (name, kind, n_convs, cin, cout); kind 'subm' keeps the site set,
@@ -80,14 +79,19 @@ def init(key):
     return params, stats
 
 
-def _conv_bn_relu(layer, feats, table, mask):
+def _conv_bn_relu(layer, feats, table, mask, up_table=None):
     """One (conv -> masked BN -> relu) layer over batched site lists.
 
     feats [B, S_in, C_in], table [B, S_out, 27] -> [B, S_out, C_out].
-    BN statistics are joint over the batch's active sites.
+    BN statistics are joint over the batch's active sites. Convs use the
+    scatter-free custom-VJP primitives (up_table given => strided conv).
     """
-    g = jax.vmap(gather_taps)(feats, table)               # [B, S_out, 27, Cin]
-    y = jax.vmap(sparse_conv_matmul, in_axes=(0, None))(g, layer["w"])
+    if up_table is None:
+        y = jax.vmap(subm_conv, in_axes=(0, None, 0))(
+            feats, layer["w"], table)
+    else:
+        y = jax.vmap(down_conv, in_axes=(0, None, 0, 0))(
+            feats, layer["w"], table, up_table)
     y, bn_batch = masked_batch_norm(
         y, mask, layer["bn_scale"], layer["bn_bias"], eps=BN_EPS
     )
@@ -123,13 +127,16 @@ def apply_sites(params, codes, geom, static: EncoderStatic):
     for name, kind, n, _, _ in ARCH:
         if kind == "down":
             table = geom[f"down{lvl}"]
+            up = geom[f"up{lvl}"]
             lvl += 1
         else:
             table = geom[f"nbr{lvl}"]
+            up = None
         layer_stats = []
         for i in range(n):
             tbl = table if i == 0 else geom[f"nbr{lvl}"]
-            x, bn_batch = _conv_bn_relu(params[name][i], x, tbl, masks[lvl])
+            x, bn_batch = _conv_bn_relu(params[name][i], x, tbl, masks[lvl],
+                                        up_table=up if i == 0 else None)
             layer_stats.append({"mean": bn_batch[0], "var": bn_batch[1]})
         new_stats[name] = layer_stats
 

@@ -108,6 +108,21 @@ def down_table(out_sites: np.ndarray, in_lookup: _SiteLookup) -> np.ndarray:
     return in_lookup(query)
 
 
+def up_table(in_sites: np.ndarray, out_lookup: _SiteLookup) -> np.ndarray:
+    """[S_in, 27] transpose table for the strided conv's backward.
+
+    Entry (q, k) is the output site p with 2p + off_k = q (or -1): the
+    gradient w.r.t. input site q gathers cotangents from these output rows,
+    turning the backward scatter into a gather (TPU scatters with colliding
+    indices serialize; gathers don't).
+    """
+    num = in_sites[:, None, :] - KERNEL_OFFSETS[None]      # [S, 27, 3]
+    even = np.all(num % 2 == 0, axis=-1)
+    p = num // 2
+    idx = out_lookup(p)
+    return np.where(even, idx, -1).astype(np.int32)
+
+
 def _pad_rows(a: np.ndarray, cap: int, fill) -> np.ndarray:
     if len(a) > cap:
         raise ValueError(
@@ -188,6 +203,12 @@ def build_frame_geometry(vertex_coords: np.ndarray, out_sh, site_caps):
             dtab = down_table(nxt, lookup)
             dtab = np.where(dtab < 0, cap, dtab)
             geom[f"down{lvl}"] = _pad_rows(dtab, site_caps[lvl + 1], cap)
+            # transpose (up) table for the scatter-free backward
+            out_lookup = _SiteLookup(nxt, sh // 2)
+            utab = up_table(sites, out_lookup)
+            cap_out = site_caps[lvl + 1]
+            utab = np.where(utab < 0, cap_out, utab)
+            geom[f"up{lvl}"] = _pad_rows(utab, cap, cap_out)
             sites = nxt
             sh = sh // 2
 
@@ -235,6 +256,59 @@ def sparse_conv_matmul(gathered, w):
         w.reshape(k * cin, cout),
         preferred_element_type=jnp.float32,
     )
+
+
+# -- scatter-free conv primitives (custom VJP) ------------------------------
+#
+# Autodiff of gather_taps produces scatter-adds with colliding indices,
+# which XLA serializes on TPU. These custom VJPs express every backward as
+# another gather+matmul:
+#   subm:  dL/dx = conv(g) with the kernel tap-flipped and transposed
+#          (off_{26-k} = -off_k under the lexicographic enumeration)
+#   down:  dL/dx gathers output cotangents through the host-built up-table
+#   dL/dW = einsum over the (recomputed) forward gathers.
+
+@jax.custom_vjp
+def subm_conv(x, w, nbr):
+    """Submanifold conv: x [S, Cin], w [27, Cin, Cout], nbr [S, 27]."""
+    return sparse_conv_matmul(gather_taps(x, nbr), w)
+
+
+def _subm_fwd(x, w, nbr):
+    return subm_conv(x, w, nbr), (x, w, nbr)
+
+
+def _subm_bwd(res, gy):
+    x, w, nbr = res
+    w_t = jnp.flip(w, axis=0).transpose(0, 2, 1)       # [27, Cout, Cin]
+    dx = sparse_conv_matmul(gather_taps(gy, nbr), w_t)
+    dw = jnp.einsum("skc,sd->kcd", gather_taps(x, nbr), gy)
+    return dx, dw, None
+
+
+subm_conv.defvjp(_subm_fwd, _subm_bwd)
+
+
+@jax.custom_vjp
+def down_conv(x, w, down_tbl, up_tbl):
+    """Stride-2 conv: x [S_in, Cin] -> [S_out, Cout]; up_tbl [S_in, 27]."""
+    return sparse_conv_matmul(gather_taps(x, down_tbl), w)
+
+
+def _down_fwd(x, w, down_tbl, up_tbl):
+    return down_conv(x, w, down_tbl, up_tbl), (x, w, down_tbl, up_tbl)
+
+
+def _down_bwd(res, gy):
+    x, w, down_tbl, up_tbl = res
+    gup = gather_taps(gy, up_tbl)                       # [S_in, 27, Cout]
+    w_t = w.transpose(0, 2, 1)                          # [27, Cout, Cin]
+    dx = jnp.einsum("skd,kdc->sc", gup, w_t)
+    dw = jnp.einsum("skc,sd->kcd", gather_taps(x, down_tbl), gy)
+    return dx, dw, None, None
+
+
+down_conv.defvjp(_down_fwd, _down_bwd)
 
 
 def masked_batch_norm(x, mask, scale, bias, eps=1e-3):

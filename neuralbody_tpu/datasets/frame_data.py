@@ -65,15 +65,21 @@ def voxelize_frame(wxyz, Rh, Th, voxel_size, big_box=False, pad_axis=2):
 
 
 class GeometryCache:
-    """Sequence-level static shapes + per-frame geometry table cache."""
+    """Sequence-level static shapes + per-frame geometry table cache.
 
-    def __init__(self, voxel_size, big_box=False, pad_axis=2):
+    Optional on-disk cache (cache_dir): rulebook tables are rebuilt only
+    when the voxelization inputs change (keyed by frame id + voxel size +
+    static shapes)."""
+
+    def __init__(self, voxel_size, big_box=False, pad_axis=2,
+                 cache_dir=None):
         self.voxel_size = voxel_size
         self.big_box = big_box
         self.pad_axis = pad_axis
         self.out_sh = None       # static (D, H, W)
         self.site_caps = None
         self._frames = {}
+        self.cache_dir = cache_dir
 
     def finalize_static(self, frames):
         """Scan all frames' vertices to fix out_sh and site caps.
@@ -91,6 +97,14 @@ class GeometryCache:
         self.site_caps = tuple(compute_site_caps(metas, self.out_sh))
         return self.out_sh, self.site_caps
 
+    def _disk_path(self, key):
+        if self.cache_dir is None:
+            return None
+        tag = "_".join(map(str, self.out_sh)) + "-" + \
+            "_".join(map(str, self.site_caps)) + \
+            f"-{self.voxel_size[0]:.4f}"
+        return os.path.join(self.cache_dir, f"geom_{key}_{tag}.npz")
+
     def frame(self, key, wxyz, Rh, Th):
         """Full frame payload: geometry tables + transforms (cached by key)."""
         if key in self._frames:
@@ -98,7 +112,20 @@ class GeometryCache:
         assert self.out_sh is not None, "call finalize_static first"
         coord, _, can_bounds, bounds, R, Th2 = voxelize_frame(
             wxyz, Rh, Th, self.voxel_size, self.big_box, self.pad_axis)
-        geom = build_frame_geometry(coord, self.out_sh, list(self.site_caps))
+
+        path = self._disk_path(key)
+        if path is not None and os.path.exists(path):
+            with np.load(path) as z:
+                geom = {k: z[k] for k in z.files}
+        else:
+            geom = build_frame_geometry(
+                coord, self.out_sh, list(self.site_caps))
+            if path is not None:
+                os.makedirs(self.cache_dir, exist_ok=True)
+                tmp = path + ".tmp.npz"   # .npz suffix: savez keeps the name
+                np.savez_compressed(tmp, **geom)
+                os.replace(tmp, path)
+
         payload = {
             "geom": geom,
             "can_bounds": can_bounds,

@@ -55,8 +55,10 @@ class MonocularDataset:
         self.num_train_frame = cfg.num_train_frame
         self.nrays = cfg.N_rand
 
+        cache_dir = (os.path.join(self.data_root, ".nb_tpu_cache")
+                     if cfg.tpu.cache_frame_geometry else None)
         self.geo = GeometryCache(cfg.voxel_size, big_box=cfg.big_box,
-                                 pad_axis=1)
+                                 pad_axis=1, cache_dir=cache_dir)
         self.geo.finalize_static(self._frames())
 
     def _frame_params(self, i):

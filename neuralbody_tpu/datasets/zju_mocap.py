@@ -73,8 +73,10 @@ class MultiViewDataset:
         self.num_cams = len(view)
         self.nrays = cfg.N_rand
 
+        cache_dir = (os.path.join(self.data_root, ".nb_tpu_cache")
+                     if cfg.tpu.cache_frame_geometry else None)
         self.geo = GeometryCache(cfg.voxel_size, big_box=cfg.big_box,
-                                 pad_axis=2)
+                                 pad_axis=2, cache_dir=cache_dir)
         self._finalize_geometry(i, ni, i_intv)
 
     # -- geometry ---------------------------------------------------------

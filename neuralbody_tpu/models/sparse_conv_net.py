@@ -158,10 +158,17 @@ def densify(site_feats, geom, static: EncoderStatic):
 
 
 def index_volumes(geom, static: EncoderStatic):
-    """Per-level int32 site-index volumes [B, D_l, H_l, W_l] (no grad)."""
+    """Per-level int32 site-index volumes [B, D_l, H_l, W_l] (no grad).
+
+    Host-built in build_frame_geometry (a device scatter of the same data
+    serializes on TPU); falls back to the device scatter for geom dicts
+    produced before ivol tables existed."""
     from ..ops.sparse_conv import scatter_index_volume
     vols = []
     for lvl in range(1, 5):
+        if f"ivol{lvl}" in geom:
+            vols.append(geom[f"ivol{lvl}"])
+            continue
         lsh = static.level_sh(lvl)
         cap = static.site_caps[lvl]
         vols.append(jax.vmap(

@@ -196,6 +196,13 @@ def build_frame_geometry(vertex_coords: np.ndarray, out_sh, site_caps):
         geom[f"sites{lvl}"] = _pad_rows(
             sites, cap, np.int32(2 ** 30)
         )
+        if lvl >= 1:
+            # host-built int32 site-index volume (device scatter of the
+            # same thing serializes and costs ~25 ms/step on TPU)
+            ivol = np.full(tuple(sh), cap, np.int32)
+            ivol[sites[:, 0], sites[:, 1], sites[:, 2]] = np.arange(
+                len(sites), dtype=np.int32)
+            geom[f"ivol{lvl}"] = ivol
         level_sites.append(sites)
 
         if lvl < 4:

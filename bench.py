@@ -51,17 +51,20 @@ def main():
         lambda x: jnp.broadcast_to(x[None], (G,) + x.shape), batch)
     keys = jax.random.split(jax.random.PRNGKey(1), G)
 
-    # warmup/compile
+    # warmup/compile (fetch a scalar: block_until_ready is unreliable on
+    # the tunneled TPU — see CLAUDE.md)
     params, bn_stats, opt_state, stats = train_step_scan(
         params, bn_stats, opt_state, batches, keys, settings, tx)
-    jax.block_until_ready(stats["loss"])
+    _ = float(stats["loss"][-1])
 
     n_iters = 20
     t0 = time.perf_counter()
     for _ in range(n_iters):
         params, bn_stats, opt_state, stats = train_step_scan(
             params, bn_stats, opt_state, batches, keys, settings, tx)
-    jax.block_until_ready(stats["loss"])
+    # the final loss depends on every previous step's params: one scalar
+    # fetch forces the whole chain without per-iter host round-trips
+    _ = float(stats["loss"][-1])
     dt = time.perf_counter() - t0
 
     rays_per_s = n_rays * n_iters * G / dt

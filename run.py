@@ -1,17 +1,21 @@
 """Tool dispatch entry point (mirrors reference run.py):
 
-    python run.py --type dataset|network|evaluate|visualize --cfg_file ... opts
+    python run.py --type dataset|network|evaluate|visualize|light_stage|evaluate_nv --cfg_file ... opts
 
-dataset:   iterate the data loader (pipeline smoke test, ref run.py:4-11)
-network:   time forward renders (perf smoke, ref run.py:14-38)
-evaluate:  PSNR/SSIM metrics on held-out views / unseen poses (ref :41-69)
-visualize: demo renders per the vis_* mode overlays (ref :72-123)
+dataset:     iterate the data loader (pipeline smoke test, ref run.py:4-11)
+network:     time forward renders (perf smoke, ref run.py:14-38)
+evaluate:    PSNR/SSIM metrics on held-out views / unseen poses (ref :41-69)
+visualize:   demo renders per the vis_* mode overlays (ref :72-123)
+light_stage: point clouds -> packed occupancy volumes (ref :103-106)
+evaluate_nv: score saved competitor renders against GT (ref :109-122)
 """
 import time
 
 
 def _setup():
     from neuralbody_tpu.config import make_cfg_from_args
+    from neuralbody_tpu.utils.platform import ensure_platform
+    ensure_platform()  # honor JAX_PLATFORMS despite the axon override
     cfg, args = make_cfg_from_args()
     cfg.perturb = 0  # deterministic samples at tool time (ref run.py:50)
     return cfg, args
@@ -113,15 +117,58 @@ def run_visualize(cfg):
         visualizer.visualize(output, device_batch, meta)
 
 
+def run_light_stage(cfg):
+    """Point clouds -> packed occupancy volumes (ref run.py:103-106 ->
+    lib/utils/light_stage/ply_to_occupancy.py:41-66). Converts every
+    pointcloud/*.ply under the dataset root into voxel/*.npz."""
+    import glob
+    import os
+    import types
+
+    from tools.dataset_tools import cmd_occupancy
+
+    root = cfg.train_dataset.data_root
+    plys = sorted(glob.glob(os.path.join(root, "pointcloud", "*.ply")))
+    if not plys:
+        print(f"no pointcloud/*.ply under {root}")
+        return
+    out_dir = os.path.join(root, "voxel")
+    os.makedirs(out_dir, exist_ok=True)
+    for ply in plys:
+        stem = os.path.splitext(os.path.basename(ply))[0]
+        cmd_occupancy(types.SimpleNamespace(
+            ply=ply, res=256, out=os.path.join(out_dir, stem + ".npz")))
+
+
+def run_evaluate_nv(cfg):
+    """Score a competitor's saved renders against GT with identical masking
+    (ref run.py:109-122; evaluator: lib/evaluators/neural_volume.py). Needs
+    only the data loader — no network forward."""
+    from neuralbody_tpu.config import build
+    from neuralbody_tpu import datasets, evaluators  # noqa: F401
+    from neuralbody_tpu.datasets.loader import make_data_loader
+
+    loader = make_data_loader(cfg, "test")
+    evaluator = build("evaluator", "neural_volume", cfg)
+    for device_batch, meta in loader:
+        evaluator.evaluate(None, device_batch, meta)
+    return evaluator.summarize()
+
+
 def main():
     cfg, args = _setup()
-    runner = {
+    runners = {
         "dataset": run_dataset,
         "network": run_network,
         "evaluate": run_evaluate,
         "visualize": run_visualize,
-    }[args.type]
-    runner(cfg)
+        "light_stage": run_light_stage,
+        "evaluate_nv": run_evaluate_nv,
+    }
+    if args.type not in runners:
+        raise SystemExit(
+            f"unknown --type {args.type!r}; valid: {', '.join(runners)}")
+    runners[args.type](cfg)
 
 
 if __name__ == "__main__":

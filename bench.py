@@ -30,8 +30,11 @@ def main():
     from neuralbody_tpu.utils.synthetic import make_batch
 
     n_rays, n_samples = 1024, 64
+    # hat=True: host-planned grouped hat-matmul interpolation (the
+    # production training path; see ops/hat_interp.py)
     batch_np, static = make_batch(
-        n_rays=n_rays, n_verts=6890, voxel_size=0.005, seed=0)
+        n_rays=n_rays, n_verts=6890, voxel_size=0.005, seed=0,
+        hat=True, n_samples=n_samples)
     batch = jax.tree.map(jnp.asarray, batch_np)
     model_static = ModelStatic(
         encoder=EncoderStatic(out_sh=static["out_sh"],

@@ -153,6 +153,32 @@ def calculate_density(params, wpts, volumes, frame, static: ModelStatic,
     return dense(params["alpha_fc"], net)
 
 
+def decode_raw(params, feat, wpts, viewdir, frame, static: ModelStatic):
+    """Interpolated features [..., 352] -> raw [..., 4] (rgb logits + sigma).
+
+    The post-interpolation half of the reference decode
+    (ref: latent_xyzc.py:99-126); shared by all interpolation paths.
+    """
+    net = _density_trunk(params, feat)
+    alpha = dense(params["alpha_fc"], net)
+
+    features = dense(params["feature_fc"], net)
+    latent = params["frame_latent"][frame["latent_index"]]
+    latent = jnp.broadcast_to(
+        latent, features.shape[:-1] + (latent.shape[-1],))
+    features = dense(params["latent_fc"],
+                     jnp.concatenate([features, latent], axis=-1))
+
+    view_emb = positional_encoding(viewdir, static.view_res)
+    xyz_emb = positional_encoding(wpts, static.xyz_res)
+    features = jnp.concatenate([features, view_emb, xyz_emb], axis=-1)
+
+    net = jax.nn.relu(dense(params["view_fc"], features))
+    rgb = dense(params["rgb_fc"], net)
+
+    return jnp.concatenate([rgb, alpha], axis=-1)
+
+
 def calculate_density_color(params, wpts, viewdir, volumes, frame,
                             static: ModelStatic, voxel_size,
                             index_vols=None):
@@ -170,23 +196,7 @@ def calculate_density_color(params, wpts, viewdir, volumes, frame,
         gc = get_grid_coords(ppts, frame["bounds"], voxel_size, static.out_sh)
         feat = interpolate_features(gc, volumes)
 
-    net = _density_trunk(params, feat)
-    alpha = dense(params["alpha_fc"], net)
-
-    features = dense(params["feature_fc"], net)
-    latent = params["frame_latent"][frame["latent_index"]]
-    latent = jnp.broadcast_to(latent, (features.shape[0], latent.shape[-1]))
-    features = dense(params["latent_fc"],
-                     jnp.concatenate([features, latent], axis=-1))
-
-    view_emb = positional_encoding(viewdir, static.view_res)
-    xyz_emb = positional_encoding(wpts, static.xyz_res)
-    features = jnp.concatenate([features, view_emb, xyz_emb], axis=-1)
-
-    net = jax.nn.relu(dense(params["view_fc"], features))
-    rgb = dense(params["rgb_fc"], net)
-
-    return jnp.concatenate([rgb, alpha], axis=-1)
+    return decode_raw(params, feat, wpts, viewdir, frame, static)
 
 
 @register("network", "latent_xyzc")

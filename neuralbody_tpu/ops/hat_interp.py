@@ -1,0 +1,302 @@
+"""Grouped hat-basis trilinear interpolation (the training hot path).
+
+Replaces per-sample gather/scatter interpolation with MXU matmuls.
+
+Trilinear interpolation with zeros padding is exactly an evaluation of the
+hat (tent) basis anchored at the occupied cells:
+
+    out[p] = sum_over_sites  prod_axis max(0, 1 - |pos(p) - coord(site)|)
+             * feats[site]
+
+because the product is nonzero only for the <=8 corner cells of p, where it
+equals the trilinear weight, and absent (empty) cells contribute zero — the
+reference's zeros-padded align_corners grid_sample semantics
+(ref: lib/networks/latent_xyzc.py:62-72). See tests/test_hat_interp.py for
+the equivalence contract against dense grid_sample.
+
+TPU mapping (why this wins): XLA TPU gathers/scatters run at a few ns/row,
+so the naive 8-corner interpolation costs ~35 ms/step at the reference
+working point (profiled: 15 ms of index-volume lookups + 20 ms of backward
+scatter-adds). Here the HOST groups ray samples by (d, h) cell and emits,
+per (level, group), the explicit list of site rows whose hat support can
+touch the group. The DEVICE then does one small row-gather per level plus a
+batched [P, R] x [R, C] matmul per group — forward AND backward are matmuls
+(the backward scatter shrinks to the per-group row lists, ~30x fewer bytes).
+
+Host side (numpy, runs in the data loader): stratified z sampling, point
+sorting, group row lists, inverse permutation. Device side (JAX): the hat
+contraction. Both sides are pure functions of the batch.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# host: planning (numpy)
+# ---------------------------------------------------------------------------
+
+
+def stratified_z_np(near, far, n_samples, rng=None):
+    """Host-side stratified depth sampling, matching ops.ray_ops semantics.
+
+    near/far: [R]. Returns z_vals [R, S] float32. rng=None -> midpoints
+    (deterministic eval, perturb=0; ref run.py:50).
+    """
+    t = np.linspace(0.0, 1.0, n_samples, dtype=np.float32)
+    z = near[:, None] * (1.0 - t) + far[:, None] * t
+    if rng is not None:
+        mids = 0.5 * (z[:, 1:] + z[:, :-1])
+        upper = np.concatenate([mids, z[:, -1:]], axis=1)
+        lower = np.concatenate([z[:, :1], mids], axis=1)
+        z = lower + (upper - lower) * rng.uniform(
+            size=z.shape).astype(np.float32)
+    return z.astype(np.float32)
+
+
+def _level_scale(out_sh, lvl):
+    """(size_l - 1) / out_sh per axis — the reference normalization chain
+    (divide by out_sh, NOT out_sh-1; latent_xyzc.py:49-60) composed with
+    align_corners unnormalization at the level grid."""
+    sh_l = np.array([s // (2 ** lvl) for s in out_sh], np.float64)
+    return ((sh_l - 1.0) / np.asarray(out_sh, np.float64)).astype(np.float32)
+
+
+def plan_hat_groups(dhw_pts, geom, out_sh, site_caps, group_size=128,
+                    tile=(4, 8), rows_caps=None, n_groups=None,
+                    levels=(1, 2, 3, 4)):
+    """Bucket points into spatial tiles, chunk each tile into point groups,
+    and build per-(level, group) site-row lists.
+
+    Tiles are fixed (d, h) rectangles of level-1 cells; groups never
+    straddle a tile, so every group's row list is bounded by the tile
+    footprint + 1-cell hat halo regardless of how ray samples cluster
+    (count-only grouping lets sparse-region groups span the whole grid and
+    blows up the static row caps ~6x).
+
+    Args:
+      dhw_pts: [N, 3] float32 continuous full-res voxel coords of all ray
+        samples (SMPL frame; see latent_xyzc.get_dhw_vox).
+      geom: single-frame geometry dict (numpy; sites{l}, nsite{l}).
+      out_sh: full-res grid shape (tuple of 3).
+      site_caps: per-level static site capacities.
+      group_size: points per group (P); tiles are padded to multiples of P
+        with repeats of an in-tile point (never referenced by fwd_perm).
+      tile: (d, h) tile extent in level-1 cells.
+      rows_caps: per-level static row capacities, or None to derive from
+        this batch (max over groups, rounded up to 32).
+      n_groups: static group count (padded with inert groups), or None to
+        use this batch's count.
+
+    Returns dict:
+      perm      [n_groups*P]     sorted-point -> original index
+      fwd_perm  [N]              original -> sorted position (de-sort gather)
+      rows{l}   [ngrp, cap_l]    site-row lists, sentinel = site_caps[l]
+      rows_caps, n_groups        the static sizes used
+    """
+    N = dhw_pts.shape[0]
+    P = group_size
+    s1 = _level_scale(out_sh, 1)
+    pos1 = dhw_pts * s1
+    D1, H1 = out_sh[0] // 2, out_sh[1] // 2
+    dc = np.clip(np.floor(pos1[:, 0]).astype(np.int64), 0, D1 - 1)
+    hc = np.clip(np.floor(pos1[:, 1]).astype(np.int64), 0, H1 - 1)
+    n_th = -(-H1 // tile[1])
+    tile_id = (dc // tile[0]) * n_th + hc // tile[1]
+
+    order = np.argsort(tile_id, kind="stable").astype(np.int32)
+    tids = tile_id[order]
+    starts = np.flatnonzero(np.r_[True, tids[1:] != tids[:-1]])
+    stops = np.r_[starts[1:], len(tids)]
+    chunks = []
+    for a, b in zip(starts, stops):
+        idx = order[a:b]
+        pad = (-len(idx)) % P
+        if pad:
+            idx = np.concatenate([idx, np.repeat(idx[:1], pad)])
+        chunks.append(idx)
+    perm = (np.concatenate(chunks) if chunks
+            else np.zeros((0,), np.int32))
+    used_groups = len(perm) // P
+    if n_groups is None:
+        n_groups = used_groups
+    if used_groups > n_groups:
+        raise ValueError(
+            f"hat group overflow: batch needs {used_groups} groups but the "
+            f"static count is {n_groups}; raise tpu.hat_n_groups")
+    # inert padding groups: repeat point 0, all-sentinel row lists
+    perm = np.concatenate(
+        [perm, np.zeros(((n_groups - used_groups) * P,), np.int32)])
+    # first (real) occurrence of each point wins the de-sort slot
+    fwd_perm = np.empty((N,), np.int32)
+    fwd_perm[perm[::-1]] = np.arange(len(perm) - 1, -1, -1, dtype=np.int32)
+
+    ngrp = n_groups
+    sorted_dhw = dhw_pts[perm]                       # [ngrp*P, 3]
+    grp_dhw = sorted_dhw.reshape(ngrp, P, 3)
+
+    out = {"perm": perm, "fwd_perm": fwd_perm}
+    used_caps = []
+    for li, lvl in enumerate(levels):
+        sl = _level_scale(out_sh, lvl)
+        sh_l = tuple(s // (2 ** lvl) for s in out_sh)
+        Dl, Hl, Wl = sh_l
+        pos = grp_dhw * sl                            # [ngrp, P, 3]
+        # touched corner cells per group: [floor(min), floor(max)+1]
+        lo = np.floor(pos.min(axis=1)).astype(np.int64)       # [ngrp, 3]
+        hi = np.floor(pos.max(axis=1)).astype(np.int64) + 1
+        d_lo = np.clip(lo[:, 0], 0, Dl - 1)
+        d_hi = np.clip(hi[:, 0], 0, Dl - 1)
+        h_lo = np.clip(lo[:, 1], 0, Hl - 1)
+        h_hi = np.clip(hi[:, 1], 0, Hl - 1)
+
+        ns = int(geom[f"nsite{lvl}"])
+        sites = geom[f"sites{lvl}"][:ns].astype(np.int64)     # sorted by code
+        key = (sites[:, 0] * Hl + sites[:, 1]) * Wl + sites[:, 2]
+
+        group_rows = []
+        for g in range(ngrp):
+            ds = np.arange(d_lo[g], d_hi[g] + 1)
+            starts = np.searchsorted(key, (ds * Hl + h_lo[g]) * Wl)
+            stops = np.searchsorted(key, (ds * Hl + h_hi[g] + 1) * Wl)
+            segs = [np.arange(a, b, dtype=np.int32)
+                    for a, b in zip(starts, stops) if b > a]
+            group_rows.append(
+                np.concatenate(segs) if segs
+                else np.zeros((0,), np.int32))
+
+        need = max((len(r) for r in group_rows), default=0)
+        cap = (rows_caps[li] if rows_caps is not None
+               else max(64, -(-need // 32) * 32))
+        if need > cap:
+            raise ValueError(
+                f"hat rows overflow at level {lvl}: group needs {need} rows "
+                f"but cap is {cap}; raise tpu.hat_rows_caps for this sequence")
+        used_caps.append(cap)
+        sent = site_caps[lvl]
+        rows = np.full((ngrp, cap), sent, np.int32)
+        for g, r in enumerate(group_rows):
+            rows[g, :len(r)] = r
+        out[f"rows{lvl}"] = rows
+    out["rows_caps"] = tuple(used_caps)
+    out["n_groups"] = n_groups
+    return out
+
+
+def prepare_hat_batch(batch, out_sh, site_caps, voxel_size, n_samples,
+                      group_size=128, tile=(4, 8), rows_caps=None,
+                      n_groups=None, rng=None):
+    """Augment a numpy batch with host-planned hat-interpolation fields.
+
+    Adds (per batch element, stacked):
+      z_vals   [B, R, S]        host-sampled depths (rng=None -> perturb off)
+      hat_pts  [B, ngrp, P, 3]  world-space points in sorted group order
+      hat_vdir [B, ngrp, P, 3]  normalized view dirs, same order
+      hat_perm [B, R*S]         de-sort gather indices (ray layout <- sorted)
+      hat_rows{l} [B, ngrp, cap_l]
+    Returns (batch, hat_static) where hat_static = {rows_caps, n_groups,
+    group_size, tile} — the static sizes must be reused across steps for a
+    single compile (same pattern as site_caps).
+    """
+    B, R = batch["ray_o"].shape[:2]
+    vs = np.asarray(voxel_size, np.float32)
+    rev = [2, 1, 0]
+
+    zs, pts_s, vdir_s, perms, rows_acc = [], [], [], [], None
+    for b in range(B):
+        z = stratified_z_np(batch["near"][b], batch["far"][b], n_samples, rng)
+        pts = (batch["ray_o"][b][:, None, :]
+               + batch["ray_d"][b][:, None, :] * z[..., None])   # [R, S, 3]
+        pts = pts.reshape(-1, 3)
+        Rm = batch["R"][b]
+        Th = batch["Th"][b].reshape(1, 3)
+        ppts = (pts - Th) @ Rm
+        dhw = (ppts[:, rev] - batch["bounds"][b][0][rev]) / vs
+
+        geom_b = {k: v[b] for k, v in batch["geom"].items()}
+        plan = plan_hat_groups(dhw, geom_b, out_sh, site_caps,
+                               group_size=group_size, tile=tile,
+                               rows_caps=rows_caps, n_groups=n_groups)
+        rows_caps = plan["rows_caps"]
+        n_groups = plan["n_groups"]
+
+        vd = batch["ray_d"][b] / np.maximum(
+            np.linalg.norm(batch["ray_d"][b], axis=-1, keepdims=True), 1e-8)
+        vd = np.repeat(vd[:, None, :], n_samples, axis=1).reshape(-1, 3)
+
+        P = group_size
+        zs.append(z)
+        pts_s.append(pts[plan["perm"]].reshape(-1, P, 3))
+        vdir_s.append(vd[plan["perm"]].reshape(-1, P, 3))
+        perms.append(plan["fwd_perm"])
+        if rows_acc is None:
+            rows_acc = {k: [] for k in plan if k.startswith("rows") and
+                        k != "rows_caps"}
+        for k in rows_acc:
+            rows_acc[k].append(plan[k])
+
+    batch = dict(batch)
+    batch["z_vals"] = np.stack(zs).astype(np.float32)
+    batch["hat_pts"] = np.stack(pts_s).astype(np.float32)
+    batch["hat_vdir"] = np.stack(vdir_s).astype(np.float32)
+    batch["hat_perm"] = np.stack(perms)
+    for k, v in rows_acc.items():
+        batch[f"hat_{k}"] = np.stack(v)
+    hat_static = {"rows_caps": rows_caps, "n_groups": n_groups,
+                  "group_size": group_size, "tile": tuple(tile)}
+    return batch, hat_static
+
+
+# ---------------------------------------------------------------------------
+# device: the hat contraction (JAX)
+# ---------------------------------------------------------------------------
+
+
+def hat_interp_level(feats, sites, rows, pos):
+    """One level's interpolation for all groups.
+
+    Args:
+      feats: [capS, C] site features (padded rows zero).
+      sites: [capS, 3] int site coords (padded rows hold a huge sentinel).
+      rows:  [ngrp, capR] row lists (sentinel capS -> zero feature row and
+             far-away coord -> hat weight exactly 0).
+      pos:   [ngrp, P, 3] level-grid continuous positions.
+
+    Returns [ngrp, P, C].
+    """
+    fpad = jnp.concatenate([feats, jnp.zeros_like(feats[:1])], axis=0)
+    spad = jnp.concatenate(
+        [sites.astype(jnp.float32),
+         jnp.full((1, 3), 1e9, jnp.float32)], axis=0)
+    rf = fpad[rows]                                  # [ngrp, capR, C]
+    rc = spad[rows]                                  # [ngrp, capR, 3]
+    diff = jnp.abs(pos[:, :, None, :] - rc[:, None, :, :])
+    hat = jnp.prod(jnp.maximum(0.0, 1.0 - diff), axis=-1)   # [ngrp, P, capR]
+    # f32-accurate contraction (hat weights are exact trilinear weights)
+    return jax.lax.dot_general(
+        hat, rf, (((2,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST)
+
+
+def hat_interpolate(site_feats, geom, rows, dhw_grouped, static):
+    """Multi-scale feature interpolation via grouped hat matmuls.
+
+    Args:
+      site_feats: list of per-level site features [capS_l, C_l] (levels 1-4).
+      geom: single-element frame geometry (sites{l} tables on device).
+      rows: dict {lvl: [ngrp, capR_l]} row lists.
+      dhw_grouped: [ngrp, P, 3] full-res voxel coords in sorted group order.
+      static: ModelStatic (for out_sh).
+
+    Returns [ngrp, P, 352].
+    """
+    outs = []
+    out_sh = jnp.asarray(static.out_sh, jnp.float32)
+    for lvl, feats in zip((1, 2, 3, 4), site_feats):
+        sh_l = jnp.asarray(
+            [s // (2 ** lvl) for s in static.out_sh], jnp.float32)
+        pos = dhw_grouped * ((sh_l - 1.0) / out_sh)
+        outs.append(
+            hat_interp_level(feats, geom[f"sites{lvl}"], rows[lvl], pos))
+    return jnp.concatenate(outs, axis=-1)

@@ -255,12 +255,14 @@ def gather_taps(feats, table):
 
 
 def sparse_conv_matmul(gathered, w):
-    """[S, 27, Cin] x [27, Cin, Cout] -> [S, Cout] on the MXU."""
-    S = gathered.shape[0]
-    k, cin, cout = w.shape
-    return jnp.dot(
-        gathered.reshape(S, k * cin),
-        w.reshape(k * cin, cout),
+    """[S, 27, Cin] x [27, Cin, Cout] -> [S, Cout] on the MXU.
+
+    Contracts (tap, channel) jointly via dot_general — reshaping the gather
+    output to [S, 27*Cin] first forces a real relayout copy on TPU
+    (profiled at 0.4-0.7 ms per conv at the reference working point).
+    """
+    return jax.lax.dot_general(
+        gathered, w, (((1, 2), (0, 1)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -297,9 +299,11 @@ def _subm_bwd(res, gy):
     gyg = gather_taps(gy, nbr)                          # [S, 27, Cout]
     w_t = jnp.flip(w, axis=0).transpose(0, 2, 1)       # [27, Cout, Cin]
     dx = sparse_conv_matmul(gyg, w_t)
-    # tap-flip the gathered cotangents: entry k of the flipped tensor is
-    # gy[nbr[:, 26-k]] = gy at the site one off_k step away.
-    dw = jnp.einsum("sc,skd->kcd", x, jnp.flip(gyg, axis=1))
+    # dW needs the tap-flipped gathered cotangents (entry k of the flipped
+    # tensor is gy[nbr[:, 26-k]], the site one off_k step away); flipping
+    # the small [27, Cin, Cout] RESULT instead of the big [S, 27, Cout]
+    # operand avoids materializing a flipped copy of the gather.
+    dw = jnp.flip(jnp.einsum("sc,skd->kcd", x, gyg), axis=0)
     return dx, dw, None
 
 

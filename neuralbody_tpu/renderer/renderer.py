@@ -84,6 +84,64 @@ def snapshot_hull_mask(wpts, frame, R0, Th0, K, RT, msk, img_hw):
     return msk[vi, ui] > 0
 
 
+def render_rays_hat(params, batch, settings: RenderSettings, key=None,
+                    train: bool = False):
+    """Training hot path: grouped hat-matmul interpolation.
+
+    Requires the host-planned batch fields from
+    ops.hat_interp.prepare_hat_batch (z_vals, hat_pts, hat_vdir, hat_perm,
+    hat_rows{1..4}). Numerically equivalent to the site/dense paths at the
+    same z samples (tests/test_hat_interp.py); z sampling lives on the host
+    here, so `key` only feeds the raw-noise term.
+    """
+    s = settings
+    from ..models import latent_xyzc as lx
+    from ..ops.hat_interp import hat_interpolate
+
+    site_feats, new_stats = lx.encode_sparse_voxels(
+        params, batch["geom"], s.model, densify=False)
+
+    B, R = batch["ray_o"].shape[:2]
+    rets = []
+    for b in range(B):
+        frame = _frame_info(batch, b)
+        geom_b = {k: v[b] for k, v in batch["geom"].items()}
+        rows = {l: batch[f"hat_rows{l}"][b] for l in (1, 2, 3, 4)}
+        wpts = batch["hat_pts"][b]                    # [ngrp, P, 3]
+        vdir = batch["hat_vdir"][b]
+
+        ppts = lx.pts_to_can_pts(wpts, frame["R"], frame["Th"])
+        dhw = lx.get_dhw_vox(ppts, frame["bounds"], s.voxel_size)
+        feat = hat_interpolate(
+            [x[b] for x in site_feats], geom_b, rows, dhw, s.model)
+        raw = lx.decode_raw(params, feat, wpts, vdir, frame, s.model)
+        raw = raw.reshape(-1, 4)
+
+        if s.hull_views > 0:
+            flat_pts = wpts.reshape(-1, 3)
+            if s.hull_mode == "snapshot":
+                inside = snapshot_hull_mask(
+                    flat_pts, frame, batch["R0_snap"][b],
+                    batch["Th0_snap"][b], batch["K"][b],
+                    batch["RT"][b][0], batch["msks"][b][0], s.img_hw)
+            else:
+                inside = hull_inside_mask(
+                    flat_pts, batch["Ks"][b], batch["RT"][b],
+                    batch["msks"][b], s.img_hw)
+            raw = raw * inside[:, None]
+
+        # de-sort: ray-layout sample i reads sorted row hat_perm[i]
+        raw = raw[batch["hat_perm"][b]].reshape(R, s.n_samples, 4)
+        out = raw2outputs(
+            raw, batch["z_vals"][b], batch["ray_d"][b],
+            s.raw_noise_std if train else 0.0, s.white_bkgd, noise_key=key)
+        del out["weights"]
+        rets.append(out)
+
+    ret = jax.tree.map(lambda *xs: jnp.stack(xs), *rets)
+    return ret, new_stats
+
+
 def render_rays(params, batch, settings: RenderSettings, key=None,
                 train: bool = False):
     """Render all rays in a batch.
@@ -104,6 +162,8 @@ def render_rays(params, batch, settings: RenderSettings, key=None,
       weights [B,R,S].
     """
     s = settings
+    if "hat_pts" in batch:
+        return render_rays_hat(params, batch, settings, key=key, train=train)
     ray_o, ray_d = batch["ray_o"], batch["ray_d"]
     B, R = ray_o.shape[:2]
 

@@ -41,8 +41,14 @@ def voxelize(xyz, voxel_size=0.005, pad_z=0.05):
 
 
 def make_batch(n_rays=1024, n_verts=6890, voxel_size=0.005, seed=0,
-               batch_size=1, num_views=0, img_hw=(512, 512)):
+               batch_size=1, num_views=0, img_hw=(512, 512),
+               hat=False, n_samples=64, hat_perturb=True,
+               hat_static=None):
     """A full training batch in canonical framework layout.
+
+    hat=True additionally runs the host hat-interpolation planner
+    (ops.hat_interp.prepare_hat_batch) so the batch drives the grouped
+    hat-matmul training path; static then also carries hat_rows_caps.
 
     Returns (batch dict of numpy arrays, static info dict with out_sh and
     site_caps).
@@ -109,4 +115,15 @@ def make_batch(n_rays=1024, n_verts=6890, voxel_size=0.005, seed=0,
         batch["msks"] = rep(msks)
 
     static = {"out_sh": out_sh, "site_caps": tuple(caps)}
+    if hat:
+        from ..ops.hat_interp import prepare_hat_batch
+        hs = hat_static or {}
+        batch, hs = prepare_hat_batch(
+            batch, out_sh, tuple(caps), voxel_size, n_samples,
+            group_size=hs.get("group_size", 128),
+            tile=hs.get("tile", (4, 8)),
+            rows_caps=hs.get("rows_caps"),
+            n_groups=hs.get("n_groups"),
+            rng=np.random.RandomState(seed + 1) if hat_perturb else None)
+        static["hat"] = hs
     return batch, static

@@ -1,0 +1,144 @@
+"""Equivalence contract for the grouped hat-matmul interpolation path.
+
+The hat path (ops/hat_interp.py) must be numerically identical to the
+site-index interpolation path (itself contracted to dense grid_sample by
+tests/test_site_interp.py), and the full hat render must match the site
+render given identical z samples (perturb off).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neuralbody_tpu.models import latent_xyzc, sparse_conv_net
+from neuralbody_tpu.models.latent_xyzc import ModelStatic
+from neuralbody_tpu.models.sparse_conv_net import EncoderStatic
+from neuralbody_tpu.ops import hat_interp
+from neuralbody_tpu.renderer.renderer import RenderSettings, render_rays
+from neuralbody_tpu.train.step import loss_fn
+from neuralbody_tpu.utils.synthetic import make_batch
+
+VOX = 0.02
+N_RAYS = 64
+N_SAMPLES = 8
+GROUP = 32
+
+
+@pytest.fixture(scope="module")
+def scene():
+    batch_np, static = make_batch(
+        n_rays=N_RAYS, n_verts=512, voxel_size=VOX, seed=3,
+        hat=True, n_samples=N_SAMPLES, hat_perturb=False)
+    # rebuild the same batch without hat fields for the site path
+    base_np, _ = make_batch(n_rays=N_RAYS, n_verts=512, voxel_size=VOX,
+                            seed=3)
+    ms = ModelStatic(encoder=EncoderStatic(
+        out_sh=static["out_sh"], site_caps=static["site_caps"]))
+    params, _ = latent_xyzc.init(jax.random.PRNGKey(0), num_train_frame=4,
+                                 nv=512)
+    return batch_np, base_np, static, ms, params
+
+
+def test_hat_level_matches_site_interp(scene):
+    batch_np, _, static, ms, params = scene
+    batch = jax.tree.map(jnp.asarray, batch_np)
+    geom = batch["geom"]
+
+    site_feats, _ = latent_xyzc.encode_sparse_voxels(
+        params, geom, ms, densify=False)
+    ivols = sparse_conv_net.index_volumes(geom, ms.encoder)
+
+    geom0 = {k: v[0] for k, v in geom.items()}
+    rows = {l: batch[f"hat_rows{l}"][0] for l in (1, 2, 3, 4)}
+    wpts = batch["hat_pts"][0]
+    frame = {"R": batch["R"][0], "Th": batch["Th"][0],
+             "bounds": batch["bounds"][0]}
+    ppts = latent_xyzc.pts_to_can_pts(wpts, frame["R"], frame["Th"])
+    dhw = latent_xyzc.get_dhw_vox(ppts, frame["bounds"], (VOX,) * 3)
+
+    feat_hat = hat_interp.hat_interpolate(
+        [x[0] for x in site_feats], geom0, rows, dhw, ms)
+
+    feat_site = latent_xyzc.interpolate_site_features(
+        [x[0] for x in site_feats], [v[0] for v in ivols],
+        dhw.reshape(-1, 3), ms)
+
+    np.testing.assert_allclose(
+        np.asarray(feat_hat.reshape(-1, feat_hat.shape[-1])),
+        np.asarray(feat_site), rtol=1e-5, atol=1e-5)
+
+
+def test_hat_render_matches_site_render(scene):
+    batch_np, base_np, static, ms, params = scene
+    s_hat = RenderSettings(model=ms, voxel_size=(VOX,) * 3,
+                           n_samples=N_SAMPLES, chunk_rays=N_RAYS,
+                           site_interp=True)
+    hat_batch = jax.tree.map(jnp.asarray, batch_np)
+    base_batch = jax.tree.map(jnp.asarray, base_np)
+
+    ret_hat, _ = render_rays(params, hat_batch, s_hat, key=None, train=False)
+    ret_site, _ = render_rays(params, base_batch, s_hat, key=None,
+                              train=False)
+    np.testing.assert_allclose(np.asarray(ret_hat["rgb_map"]),
+                               np.asarray(ret_site["rgb_map"]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ret_hat["acc_map"]),
+                               np.asarray(ret_site["acc_map"]),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_hat_grad_matches_site_grad(scene):
+    batch_np, base_np, static, ms, params = scene
+    s = RenderSettings(model=ms, voxel_size=(VOX,) * 3,
+                       n_samples=N_SAMPLES, chunk_rays=N_RAYS,
+                       site_interp=True, perturb=False)
+    hat_batch = jax.tree.map(jnp.asarray, batch_np)
+    base_batch = jax.tree.map(jnp.asarray, base_np)
+    key = jax.random.PRNGKey(0)
+
+    g_hat = jax.grad(lambda p: loss_fn(p, hat_batch, s, key)[0])(params)
+    g_site = jax.grad(lambda p: loss_fn(p, base_batch, s, key)[0])(params)
+
+    flat_h, _ = jax.flatten_util.ravel_pytree(g_hat)
+    flat_s, _ = jax.flatten_util.ravel_pytree(g_site)
+    np.testing.assert_allclose(np.asarray(flat_h), np.asarray(flat_s),
+                               rtol=2e-4, atol=2e-6)
+
+
+def test_hat_rows_cover_all_corners(scene):
+    """Every sample's 8 corner cells (per level) must be inside its group's
+    row list when occupied — the correctness precondition of the grouping."""
+    batch_np, _, static, ms, params = scene
+    out_sh = static["out_sh"]
+    geom0 = {k: v[0] for k, v in batch_np["geom"].items()}
+    P = batch_np["hat_pts"].shape[2]
+
+    wpts = batch_np["hat_pts"][0].reshape(-1, 3)
+    Rm, Th = batch_np["R"][0], batch_np["Th"][0].reshape(1, 3)
+    ppts = (wpts - Th) @ Rm
+    rev = [2, 1, 0]
+    dhw = (ppts[:, rev] - batch_np["bounds"][0][0][rev]) / VOX
+
+    for lvl in (1, 2, 3, 4):
+        sh_l = np.array([s // (2 ** lvl) for s in out_sh])
+        scale = (sh_l - 1.0) / np.asarray(out_sh)
+        pos = (dhw * scale).reshape(-1, P, 3)
+        ns = int(geom0[f"nsite{lvl}"])
+        sites = geom0[f"sites{lvl}"][:ns]
+        key_of = {(int(d), int(h), int(w)): i
+                  for i, (d, h, w) in enumerate(sites)}
+        rows = batch_np[f"hat_rows{lvl}"][0]
+        for g in range(pos.shape[0]):
+            rowset = set(rows[g].tolist())
+            for p in range(P):
+                base = np.floor(pos[g, p]).astype(int)
+                for dd in (0, 1):
+                    for hh in (0, 1):
+                        for ww in (0, 1):
+                            c = (base[0] + dd, base[1] + hh, base[2] + ww)
+                            if any(x < 0 for x in c) or \
+                               any(c[i] >= sh_l[i] for i in range(3)):
+                                continue
+                            r = key_of.get(c)
+                            if r is not None:
+                                assert r in rowset, (lvl, g, p, c)

@@ -135,6 +135,11 @@ def default_cfg() -> CfgNode:
     cfg.tpu.steps_per_dispatch = 4   # train steps fused per device dispatch
     cfg.tpu.mesh_pt_chunk = 2048 * 64  # points per mesh-density chunk
     cfg.tpu.compute_dtype = "float32"
+    # training interpolation path: "hat" (grouped hat-matmul, fastest on
+    # TPU; ops/hat_interp.py) or "site" (index-volume gather path)
+    cfg.tpu.interp_mode = "hat"
+    cfg.tpu.hat_group_size = 128
+    cfg.tpu.hat_tile = [4, 8]
     cfg.tpu.data_axis = "data"       # mesh axis name for ray/data parallelism
     cfg.tpu.num_devices = -1         # -1 = all visible devices
     cfg.tpu.use_pallas = True        # enable fused Pallas kernels on TPU

@@ -58,15 +58,21 @@ def collate(samples, chunk_rays):
 
 
 class DataLoader:
-    """Iterates (device_batch, meta) with background prefetch."""
+    """Iterates (device_batch, meta) with background prefetch.
+
+    `transform(device_batch) -> device_batch` runs in the prefetch thread
+    (overlapped with device compute) — used for host-side hat-interpolation
+    planning (ops/hat_interp.py).
+    """
 
     def __init__(self, dataset, indices, chunk_rays, batch_size=1,
-                 prefetch=2):
+                 prefetch=2, transform=None):
         self.dataset = dataset
         self.indices = list(indices)
         self.chunk_rays = chunk_rays
         self.batch_size = batch_size
         self.prefetch = prefetch
+        self.transform = transform
 
     def __len__(self):
         return len(self.indices) // self.batch_size
@@ -77,7 +83,10 @@ class DataLoader:
                 batch_idx = self.indices[i * self.batch_size:
                                          (i + 1) * self.batch_size]
                 samples = [self.dataset[j] for j in batch_idx]
-                q.put(collate(samples, self.chunk_rays))
+                device, meta = collate(samples, self.chunk_rays)
+                if self.transform is not None:
+                    device = self.transform(device)
+                q.put((device, meta))
         finally:
             q.put(None)
 
@@ -99,13 +108,55 @@ def make_dataset(cfg, split):
     return build("dataset", name, cfg, data_cfg, split)
 
 
+def make_hat_transform(cfg, dataset, epoch=0, host_id=0, hat_state=None):
+    """Batch transform running the hat-interpolation host planner.
+
+    hat_state is a mutable dict persisting the static sizes (rows_caps,
+    n_groups) across batches/epochs so the device compiles once.
+    """
+    from ..ops.hat_interp import prepare_hat_batch
+
+    geo = dataset.geo
+    state = hat_state if hat_state is not None else {}
+    rng = (np.random.RandomState(epoch * 100019 + host_id * 7919 + 1)
+           if cfg.perturb else None)
+
+    def transform(device):
+        device, hs = prepare_hat_batch(
+            device, geo.out_sh, geo.site_caps, tuple(cfg.voxel_size),
+            cfg.N_samples,
+            group_size=int(cfg.tpu.hat_group_size),
+            tile=tuple(cfg.tpu.hat_tile),
+            rows_caps=state.get("rows_caps"),
+            n_groups=state.get("n_groups"),
+            rng=rng)
+        if "rows_caps" not in state:
+            # headroom on the first batch's sizes: later batches (other
+            # frames/views) must fit without a recompile
+            state["rows_caps"] = tuple(
+                -(-int(c * 1.5) // 32) * 32 for c in hs["rows_caps"])
+            state["n_groups"] = -(-int(hs["n_groups"] * 1.3) // 8) * 8
+            device, _ = prepare_hat_batch(
+                {k: v for k, v in device.items()
+                 if not k.startswith("hat_") and k != "z_vals"},
+                geo.out_sh, geo.site_caps, tuple(cfg.voxel_size),
+                cfg.N_samples, group_size=int(cfg.tpu.hat_group_size),
+                tile=tuple(cfg.tpu.hat_tile),
+                rows_caps=state["rows_caps"], n_groups=state["n_groups"],
+                rng=rng)
+        return device
+
+    return transform
+
+
 def make_data_loader(cfg, split, dataset=None, epoch=0, num_hosts=1,
-                     host_id=0):
+                     host_id=0, hat_state=None):
     """Factory mirroring the reference loader assembly
     (ref: lib/datasets/make_dataset.py:70-96)."""
     if dataset is None:
         dataset = make_dataset(cfg, split)
 
+    transform = None
     if split == "train":
         idx = samplers.epoch_indices(
             len(dataset), epoch, shuffle=cfg.train.shuffle,
@@ -114,6 +165,9 @@ def make_data_loader(cfg, split, dataset=None, epoch=0, num_hosts=1,
             if cfg.ep_iter > 0 else -1)
         chunk = cfg.N_rand
         bs = cfg.train.batch_size
+        if cfg.tpu.interp_mode == "hat" and hasattr(dataset, "geo"):
+            transform = make_hat_transform(cfg, dataset, epoch, host_id,
+                                           hat_state)
     else:
         if cfg.test.sampler == "FrameSampler":
             idx = samplers.frame_sampler_indices(
@@ -124,4 +178,5 @@ def make_data_loader(cfg, split, dataset=None, epoch=0, num_hosts=1,
         chunk = cfg.tpu.chunk_rays
         bs = cfg.test.batch_size
 
-    return DataLoader(dataset, idx, chunk, batch_size=bs)
+    return DataLoader(dataset, idx, chunk, batch_size=bs,
+                      transform=transform)

@@ -102,6 +102,7 @@ def render_rays_hat(params, batch, settings: RenderSettings, key=None,
         params, batch["geom"], s.model, densify=False)
 
     B, R = batch["ray_o"].shape[:2]
+    n_samples = batch["z_vals"].shape[-1]   # the host planner is authoritative
     rets = []
     for b in range(B):
         frame = _frame_info(batch, b)
@@ -131,7 +132,7 @@ def render_rays_hat(params, batch, settings: RenderSettings, key=None,
             raw = raw * inside[:, None]
 
         # de-sort: ray-layout sample i reads sorted row hat_perm[i]
-        raw = raw[batch["hat_perm"][b]].reshape(R, s.n_samples, 4)
+        raw = raw[batch["hat_perm"][b]].reshape(R, n_samples, 4)
         out = raw2outputs(
             raw, batch["z_vals"][b], batch["ray_d"][b],
             s.raw_noise_std if train else 0.0, s.white_bkgd, noise_key=key)

@@ -49,6 +49,7 @@ class Trainer:
 
         self.mesh = make_mesh(cfg.tpu.num_devices)
         self._step = None
+        self.hat_state = {}  # persistent hat-planner statics (one compile)
 
         self.recorder = Recorder(cfg, self.is_primary)
         self.evaluator = build("evaluator", cfg.evaluator_module, cfg)
@@ -74,7 +75,8 @@ class Trainer:
         cfg = self.cfg
         loader = make_data_loader(
             cfg, "train", dataset=self.train_dataset, epoch=epoch,
-            num_hosts=self.num_hosts, host_id=self.host_id)
+            num_hosts=self.num_hosts, host_id=self.host_id,
+            hat_state=self.hat_state)
         n_iter = len(loader)
         timer = Timer()
         key = jax.random.PRNGKey(epoch * 100003 + self.host_id)

@@ -10,6 +10,7 @@ the jitted update.
 from __future__ import annotations
 
 import optax
+from jax.numpy import minimum as jnp_minimum, where as jnp_where
 
 
 def make_lr_schedule(cfg):
@@ -32,6 +33,27 @@ def make_lr_schedule(cfg):
         def schedule(step):
             epoch = step // ep_iter
             mult = 1.0
+            for m in milestones:
+                mult = mult * (gamma ** (epoch >= m))
+            return base_lr * mult
+
+    elif sch.type == "warmup_multi_step":
+        # ref WarmupMultiStepLR (lib/utils/optimizer/lr_scheduler.py:7-49):
+        # linear/constant warmup over warmup_iters epochs, then multi-step
+        gamma = float(sch.gamma)
+        milestones = list(sch.milestones)
+        wf = float(sch.get("warmup_factor", 1.0 / 3))
+        wi = float(sch.get("warmup_iters", 5))
+        method = sch.get("warmup_method", "linear")
+
+        def schedule(step):
+            epoch = step // ep_iter
+            if method == "linear":
+                alpha = jnp_minimum(epoch / wi, 1.0)
+                warm = jnp_where(epoch < wi, wf * (1 - alpha) + alpha, 1.0)
+            else:
+                warm = jnp_where(epoch < wi, wf, 1.0)
+            mult = warm
             for m in milestones:
                 mult = mult * (gamma ** (epoch >= m))
             return base_lr * mult

@@ -91,6 +91,23 @@ class TestSamplers:
         c = samplers.epoch_indices(20, epoch=4)
         assert a == b and a != c
 
+    def test_image_size_batches(self):
+        batches = samplers.image_size_batches(
+            list(range(10)), batch_size=4, min_hw=(200, 300),
+            max_hw=(400, 600), epoch=1)
+        assert len(batches) == 3                 # 4 + 4 + 2 (no drop_last)
+        for idxs, (h, w) in batches:
+            assert h % 32 == 0 and w % 32 == 0
+            assert 200 <= h <= 448 and 300 <= w <= 640
+        # origin strategy keeps native size
+        ob = samplers.image_size_batches(
+            list(range(4)), 2, (200, 300), (400, 600), strategy="origin")
+        assert all(hw == (-1, -1) for _, hw in ob)
+        # deterministic per (seed, epoch)
+        again = samplers.image_size_batches(
+            list(range(10)), 4, (200, 300), (400, 600), epoch=1)
+        assert [hw for _, hw in again] == [hw for _, hw in batches]
+
 
 class TestZJUDataset:
     def test_train_sample_shapes(self, zju_root):

@@ -94,3 +94,24 @@ class TestCheckpointPrune:
         assert len(numbered) == 20
         assert "0.ckpt" not in numbered
         assert "24.ckpt" in numbered
+
+
+class TestLRSchedules:
+    def test_warmup_multi_step(self):
+        from neuralbody_tpu.config.node import CfgNode
+        from neuralbody_tpu.train.optimizer import make_lr_schedule
+        cfg = make_cfg(opts=["task", "if_nerf", "exp_name", "t"])
+        cfg.ep_iter = 10
+        cfg.train.lr = 1e-3
+        cfg.train.scheduler = CfgNode({
+            "type": "warmup_multi_step", "milestones": [20, 40],
+            "gamma": 0.1, "warmup_factor": 1.0 / 3, "warmup_iters": 5,
+            "warmup_method": "linear"})
+        sch = make_lr_schedule(cfg)
+        # epoch 0: warmup factor 1/3 (ref lr_scheduler.py:41-43 at alpha=0)
+        assert np.isclose(float(sch(0)), 1e-3 / 3)
+        # past warmup, before milestones: base lr
+        assert np.isclose(float(sch(10 * 10)), 1e-3)
+        # after first milestone: gamma decay
+        assert np.isclose(float(sch(25 * 10)), 1e-4)
+        assert np.isclose(float(sch(45 * 10)), 1e-5)

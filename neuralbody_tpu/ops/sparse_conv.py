@@ -169,8 +169,9 @@ def build_frame_geometry(vertex_coords: np.ndarray, out_sh, site_caps):
       dict of int32 numpy arrays (a pytree ready for device transfer):
         vert_idx   [nv]        vertex -> level-0 site row
         sites{l}   [S_l, 3]    l in 1..4 (scatter targets for .dense())
-        nbr{l}     [S_l, 27]   submanifold gather tables, l in 0..4
-        down{l}    [S_{l+1}, 27] strided-conv gather tables, l in 0..3
+        nbr{l}     [27, S_l]   submanifold gather tables (tap-major)
+        down{l}    [27, S_{l+1}] strided-conv gather tables, l in 0..3
+        up{l}      [27, S_l]   transpose tables for the strided backward
         nsite{l}   []          actual site count per level
       Missing/padded gather entries point at row S_l (a zero row appended on
       device); padded scatter coords are out-of-bounds for scatter-drop.
@@ -190,7 +191,8 @@ def build_frame_geometry(vertex_coords: np.ndarray, out_sh, site_caps):
             ).astype(np.int32)
         nbr = subm_table(sites, lookup)
         nbr = np.where(nbr < 0, cap, nbr)
-        geom[f"nbr{lvl}"] = _pad_rows(nbr, cap, cap)
+        # device tables are TAP-MAJOR [27, S] (see gather_taps)
+        geom[f"nbr{lvl}"] = np.ascontiguousarray(_pad_rows(nbr, cap, cap).T)
         geom[f"nsite{lvl}"] = np.int32(len(sites))
         # scatter coords for .dense(); sentinel = out-of-bounds row
         geom[f"sites{lvl}"] = _pad_rows(
@@ -209,13 +211,15 @@ def build_frame_geometry(vertex_coords: np.ndarray, out_sh, site_caps):
             nxt = downsample_sites(sites, sh)
             dtab = down_table(nxt, lookup)
             dtab = np.where(dtab < 0, cap, dtab)
-            geom[f"down{lvl}"] = _pad_rows(dtab, site_caps[lvl + 1], cap)
+            geom[f"down{lvl}"] = np.ascontiguousarray(
+                _pad_rows(dtab, site_caps[lvl + 1], cap).T)
             # transpose (up) table for the scatter-free backward
             out_lookup = _SiteLookup(nxt, sh // 2)
             utab = up_table(sites, out_lookup)
             cap_out = site_caps[lvl + 1]
             utab = np.where(utab < 0, cap_out, utab)
-            geom[f"up{lvl}"] = _pad_rows(utab, cap, cap_out)
+            geom[f"up{lvl}"] = np.ascontiguousarray(
+                _pad_rows(utab, cap, cap_out).T)
             sites = nxt
             sh = sh // 2
 
@@ -246,25 +250,30 @@ def scatter_vertex_codes(codes, vert_idx, cap):
 
 
 def gather_taps(feats, table):
-    """feats [S, C] (+ implicit zero row) gathered by table [S_out, 27].
+    """feats [S, C] (+ implicit zero row) gathered by TAP-MAJOR table
+    [27, S_out].
 
-    Returns [S_out, 27, C]. Index S (== len(feats)) reads the zero row.
+    Returns [27, S_out, C]. Index S (== len(feats)) reads the zero row.
+    Tap-major layout matters: the gather output then feeds a batched
+    matmul directly, whereas site-major [S_out, 27, C] forces an XLA
+    relayout copy before the contraction (~1.8x slower per conv layer on
+    a v5e at the reference working point; tools/probes/conv_formulations).
     """
     fpad = jnp.concatenate([feats, jnp.zeros_like(feats[:1])], axis=0)
     return fpad[table]
 
 
 def sparse_conv_matmul(gathered, w):
-    """[S, 27, Cin] x [27, Cin, Cout] -> [S, Cout] on the MXU.
+    """[27, S, Cin] x [27, Cin, Cout] -> [S, Cout] on the MXU.
 
-    Contracts (tap, channel) jointly via dot_general — reshaping the gather
-    output to [S, 27*Cin] first forces a real relayout copy on TPU
-    (profiled at 0.4-0.7 ms per conv at the reference working point).
+    Batched matmul over the tap axis, then a tap-sum — the layout-friendly
+    contraction for TPU (see gather_taps).
     """
-    return jax.lax.dot_general(
-        gathered, w, (((1, 2), (0, 1)), ((), ())),
+    per_tap = jax.lax.dot_general(
+        gathered, w, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )
+    )                                                   # [27, S, Cout]
+    return jnp.sum(per_tap, axis=0)
 
 
 # -- scatter-free conv primitives (custom VJP) ------------------------------
@@ -286,7 +295,7 @@ def sparse_conv_matmul(gathered, w):
 
 @jax.custom_vjp
 def subm_conv(x, w, nbr):
-    """Submanifold conv: x [S, Cin], w [27, Cin, Cout], nbr [S, 27]."""
+    """Submanifold conv: x [S, Cin], w [27, Cin, Cout], nbr [27, S]."""
     return sparse_conv_matmul(gather_taps(x, nbr), w)
 
 
@@ -296,14 +305,13 @@ def _subm_fwd(x, w, nbr):
 
 def _subm_bwd(res, gy):
     x, w, nbr = res
-    gyg = gather_taps(gy, nbr)                          # [S, 27, Cout]
+    gyg = gather_taps(gy, nbr)                          # [27, S, Cout]
     w_t = jnp.flip(w, axis=0).transpose(0, 2, 1)       # [27, Cout, Cin]
     dx = sparse_conv_matmul(gyg, w_t)
-    # dW needs the tap-flipped gathered cotangents (entry k of the flipped
-    # tensor is gy[nbr[:, 26-k]], the site one off_k step away); flipping
-    # the small [27, Cin, Cout] RESULT instead of the big [S, 27, Cout]
-    # operand avoids materializing a flipped copy of the gather.
-    dw = jnp.flip(jnp.einsum("sc,skd->kcd", x, gyg), axis=0)
+    # dW needs the tap-flipped gathered cotangents (tap k of the flipped
+    # tensor is gy[nbr[26-k]], the site one off_k step away); flipping the
+    # small [27, Cin, Cout] RESULT instead of the big gather avoids a copy.
+    dw = jnp.flip(jnp.einsum("sc,ksd->kcd", x, gyg), axis=0)
     return dx, dw, None
 
 
@@ -312,7 +320,7 @@ subm_conv.defvjp(_subm_fwd, _subm_bwd)
 
 @jax.custom_vjp
 def down_conv(x, w, down_tbl, up_tbl):
-    """Stride-2 conv: x [S_in, Cin] -> [S_out, Cout]; up_tbl [S_in, 27]."""
+    """Stride-2 conv: x [S_in, Cin] -> [S_out, Cout]; tables [27, S_*]."""
     return sparse_conv_matmul(gather_taps(x, down_tbl), w)
 
 
@@ -322,10 +330,10 @@ def _down_fwd(x, w, down_tbl, up_tbl):
 
 def _down_bwd(res, gy):
     x, w, down_tbl, up_tbl = res
-    gup = gather_taps(gy, up_tbl)                       # [S_in, 27, Cout]
+    gup = gather_taps(gy, up_tbl)                       # [27, S_in, Cout]
     w_t = w.transpose(0, 2, 1)                          # [27, Cout, Cin]
-    dx = jnp.einsum("skd,kdc->sc", gup, w_t)
-    dw = jnp.einsum("sc,skd->kcd", x, gup)
+    dx = sparse_conv_matmul(gup, w_t)
+    dw = jnp.einsum("sc,ksd->kcd", x, gup)
     return dx, dw, None, None
 
 

@@ -30,7 +30,7 @@ class TestSubmVjp:
         sites = _sites(rng, 80, sh)
         S = len(sites)
         nbr = subm_table(sites, _SiteLookup(sites, sh))
-        nbr = jnp.array(np.where(nbr < 0, S, nbr))
+        nbr = jnp.array(np.where(nbr < 0, S, nbr).T)
         x = jnp.array(rng.randn(S, cin).astype(np.float32))
         w = jnp.array(rng.randn(27, cin, cout).astype(np.float32) * 0.1)
         g = jnp.array(rng.randn(S, cout).astype(np.float32))
@@ -62,9 +62,9 @@ class TestDownVjp:
         out_sites = downsample_sites(sites, sh)
         So = len(out_sites)
         dtab = down_table(out_sites, lookup)
-        dtab = jnp.array(np.where(dtab < 0, S, dtab))
+        dtab = jnp.array(np.where(dtab < 0, S, dtab).T)
         utab = up_table(sites, _SiteLookup(out_sites, np.array(sh) // 2))
-        utab = jnp.array(np.where(utab < 0, So, utab))
+        utab = jnp.array(np.where(utab < 0, So, utab).T)
 
         x = jnp.array(rng.randn(S, cin).astype(np.float32))
         w = jnp.array(rng.randn(27, cin, cout).astype(np.float32) * 0.1)

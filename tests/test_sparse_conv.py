@@ -56,7 +56,7 @@ class TestSubmConv:
         tbl = subm_table(sites, lookup)
         tbl = np.where(tbl < 0, S, tbl)
 
-        g = gather_taps(jnp.array(feats), jnp.array(tbl))
+        g = gather_taps(jnp.array(feats), jnp.array(tbl.T))
         ours = np.asarray(sparse_conv_matmul(g, jnp.array(w)))
 
         ref = F.conv3d(densify(sites, feats, sh), my_w_to_torch(w), padding=1)
@@ -79,7 +79,7 @@ class TestStrideConv:
         tbl = down_table(out_sites, lookup)
         tbl = np.where(tbl < 0, S, tbl)
 
-        g = gather_taps(jnp.array(feats), jnp.array(tbl))
+        g = gather_taps(jnp.array(feats), jnp.array(tbl.T))
         ours = np.asarray(sparse_conv_matmul(g, jnp.array(w)))
 
         ref = F.conv3d(densify(sites, feats, sh), my_w_to_torch(w),
@@ -131,12 +131,12 @@ class TestGeometryBuilder:
         assert geom["vert_idx"].shape == (500,)
         for l in range(5):
             cap = caps[l]
-            assert geom[f"nbr{l}"].shape == (cap, 27)
+            assert geom[f"nbr{l}"].shape == (27, cap)
             assert geom[f"sites{l}"].shape == (cap, 3)
             n = int(geom[f"nsite{l}"])
             assert 0 < n <= cap
             # padded gather entries point at the zero row
-            assert (geom[f"nbr{l}"][n:] == cap).all()
+            assert (geom[f"nbr{l}"][:, n:] == cap).all()
             # real entries are in [0, cap]
             assert geom[f"nbr{l}"].min() >= 0
             assert geom[f"nbr{l}"].max() <= cap

@@ -189,5 +189,5 @@ class TestSnapshotDataset:
         assert len(ds) == 2
         s = ds[0]
         assert s["rgb"].shape == (64, 3)
-        assert s["geom"]["nbr0"].shape[1] == 27
+        assert s["geom"]["nbr0"].shape[0] == 27  # tap-major [27, S]
         assert s["mask_at_box"].all()

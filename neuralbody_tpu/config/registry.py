@@ -25,6 +25,10 @@ def resolve(kind: str, name: str):
     reg = _REGISTRIES[kind]
     if name in reg:
         return reg[name]
+    # one reference config writes the module with a file suffix
+    # ('lib.train.trainers.nerf.py', nerf_313.yaml:14) — strip it
+    if name.endswith(".py"):
+        name = name[:-3]
     short = name.rsplit(".", 1)[-1]
     if short in reg:
         return reg[short]

@@ -165,7 +165,10 @@ def make_data_loader(cfg, split, dataset=None, epoch=0, num_hosts=1,
             if cfg.ep_iter > 0 else -1)
         chunk = cfg.N_rand
         bs = cfg.train.batch_size
-        if cfg.tpu.interp_mode == "hat" and hasattr(dataset, "geo"):
+        # hat planning is a latent_xyzc-only interpolation path; other
+        # families (nerf, tpose) sample z on device
+        if (cfg.tpu.interp_mode == "hat" and hasattr(dataset, "geo")
+                and cfg.network_module == "latent_xyzc"):
             transform = make_hat_transform(cfg, dataset, epoch, host_id,
                                            hat_state)
     else:

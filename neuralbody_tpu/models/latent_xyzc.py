@@ -199,6 +199,17 @@ def calculate_density_color(params, wpts, viewdir, volumes, frame,
     return decode_raw(params, feat, wpts, viewdir, frame, static)
 
 
+@register("model_static", "latent_xyzc")
+def make_static(cfg, dataset):
+    """Static model spec from the dataset's sequence geometry (static grid
+    shape + per-level site capacities; SURVEY.md §7.3 static-shapes rule)."""
+    geo = dataset.geo
+    return ModelStatic(
+        encoder=sparse_conv_net.EncoderStatic(
+            out_sh=geo.out_sh, site_caps=geo.site_caps),
+        xyz_res=cfg.xyz_res, view_res=cfg.view_res)
+
+
 @register("network", "latent_xyzc")
 def make(cfg):
     """Factory: returns (init_fn, module) for the config-driven harness."""

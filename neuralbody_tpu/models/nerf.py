@@ -71,6 +71,13 @@ def apply_mlp(params, pts, viewdirs, st: NerfStatic):
     return jnp.concatenate([rgb, alpha], axis=-1)
 
 
+@register("model_static", "nerf")
+def make_static(cfg, dataset):
+    """The NeRF baseline has no voxel encoder: its statics live entirely in
+    the renderer settings (volume_renderer.make_volume_renderer)."""
+    return None
+
+
 @register("network", "nerf")
 def make(cfg):
     st = NerfStatic(depth=cfg.netdepth, width=cfg.netwidth,

@@ -107,6 +107,18 @@ def decode(params, feat, wpts, viewdir, latent_index, static: TposeStatic):
     return jnp.concatenate([rgb, alpha], axis=-1)
 
 
+@register("model_static", "tpose_xyzc")
+def make_static(cfg, dataset):
+    """T-pose statics: the encoder grid lives in T-pose space and the warped
+    posed grid shape comes from the dataset (tpose dataset's ptot_shape)."""
+    geo = dataset.geo
+    return TposeStatic(
+        encoder=sparse_conv_net.EncoderStatic(
+            out_sh=geo.out_sh, site_caps=geo.site_caps),
+        ptot_shape=tuple(dataset.ptot_shape),
+        xyz_res=cfg.xyz_res, view_res=cfg.view_res)
+
+
 @register("network", "tpose_xyzc")
 def make(cfg):
     def init_fn(key):

@@ -13,28 +13,20 @@ import optax
 from jax.sharding import Mesh
 
 from ..renderer.renderer import RenderSettings
-from ..train.step import loss_fn
-from ..models.sparse_conv_net import update_running_stats
+from ..train.step import _one_train_step
 from .mesh import batch_shardings, replicated
 
 
 def make_sharded_train_step(mesh: Mesh, settings: RenderSettings,
                             tx: optax.GradientTransformation,
-                            example_batch: dict):
+                            example_batch: dict, loss=None):
     """Returns train_step(params, bn_stats, opt_state, batch, key)."""
     rep = replicated(mesh)
     b_shardings = batch_shardings(mesh, example_batch)
 
     def step(params, bn_stats, opt_state, batch, key):
-        (loss, (_, new_bn, scalar_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(params, batch, settings, key)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        bn_stats = {"xyzc_net": update_running_stats(
-            bn_stats["xyzc_net"], new_bn)}
-        scalar_stats["loss"] = loss
-        return params, bn_stats, opt_state, scalar_stats
+        return _one_train_step(params, bn_stats, opt_state, batch, key,
+                               settings, tx, loss=loss)
 
     return jax.jit(
         step,
@@ -46,7 +38,7 @@ def make_sharded_train_step(mesh: Mesh, settings: RenderSettings,
 
 def make_sharded_scan_step(mesh: Mesh, settings: RenderSettings,
                            tx: optax.GradientTransformation,
-                           example_batch: dict):
+                           example_batch: dict, loss=None):
     """G train steps per dispatch (lax.scan) with ray-axis sharding.
 
     Host dispatch of a ~250-leaf step costs more than the step's compute at
@@ -54,8 +46,6 @@ def make_sharded_scan_step(mesh: Mesh, settings: RenderSettings,
     (measured 5.4x on v5e). Batches carry a leading scan axis G; shardings
     are the per-step ones with that extra replicated dim.
     """
-    from ..train.step import _one_train_step
-
     rep = replicated(mesh)
     scan_shardings = batch_shardings(mesh, example_batch, stacked=True)
 
@@ -64,7 +54,8 @@ def make_sharded_scan_step(mesh: Mesh, settings: RenderSettings,
             params, bn_stats, opt_state = carry
             batch, key = xs
             params, bn_stats, opt_state, stats = _one_train_step(
-                params, bn_stats, opt_state, batch, key, settings, tx)
+                params, bn_stats, opt_state, batch, key, settings, tx,
+                loss=loss)
             return (params, bn_stats, opt_state), stats
 
         (params, bn_stats, opt_state), stats = jax.lax.scan(

@@ -15,7 +15,8 @@ import jax.numpy as jnp
 import optax
 
 from ..models.sparse_conv_net import update_running_stats
-from ..renderer.renderer import RenderSettings, render_rays
+from ..renderer.dispatch import get_render_fn
+from ..renderer.renderer import RenderSettings
 
 
 def masked_mse(pred, target, mask):
@@ -25,52 +26,72 @@ def masked_mse(pred, target, mask):
     return jnp.sum(se) / jnp.maximum(jnp.sum(m) * pred.shape[-1], 1.0)
 
 
-def loss_fn(params, batch, settings: RenderSettings, key):
-    ret, new_bn = render_rays(params, batch, settings, key=key, train=True)
+def merge_bn_stats(bn_stats, new_bn):
+    """EMA-merge fresh batch statistics into the running BN state.
+
+    Families without BatchNorm (the NeRF baseline) return an empty new_bn;
+    the running state passes through unchanged.
+    """
+    if not new_bn:
+        return bn_stats
+    return {"xyzc_net": update_running_stats(bn_stats["xyzc_net"], new_bn)}
+
+
+def loss_fn(params, batch, settings, key):
+    """Family-generic training loss: render via settings-type dispatch,
+    masked MSE on valid rays, plus the NeRF baseline's auxiliary coarse
+    term when the renderer emits rgb0 (ref: lib/train/trainers/nerf.py:24-33,
+    if_nerf_clight.py:24-27)."""
+    render = get_render_fn(settings)
+    ret, new_bn = render(params, batch, settings, key=key, train=True)
     img_loss = masked_mse(ret["rgb_map"], batch["rgb"], batch["ray_mask"])
-    scalar_stats = {"img_loss": img_loss, "psnr": -10.0 * jnp.log10(img_loss)}
-    return img_loss, (ret, new_bn, scalar_stats)
+    loss = img_loss
+    scalar_stats = {"img_loss": img_loss}
+    if "rgb0" in ret:
+        img_loss0 = masked_mse(ret["rgb0"], batch["rgb"], batch["ray_mask"])
+        loss = loss + img_loss0
+        scalar_stats["img_loss0"] = img_loss0
+    scalar_stats["psnr"] = -10.0 * jnp.log10(img_loss)
+    return loss, (ret, new_bn, scalar_stats)
 
 
-@partial(jax.jit, static_argnames=("settings", "tx"), donate_argnames=("params", "opt_state"))
-def train_step(params, bn_stats, opt_state, batch, key, settings: RenderSettings,
-               tx: optax.GradientTransformation):
+@partial(jax.jit, static_argnames=("settings", "tx", "loss"),
+         donate_argnames=("params", "opt_state"))
+def train_step(params, bn_stats, opt_state, batch, key, settings,
+               tx: optax.GradientTransformation, loss=None):
     """One optimization step. Returns (params, bn_stats, opt_state, stats)."""
-    (loss, (_, new_bn, scalar_stats)), grads = jax.value_and_grad(
-        loss_fn, has_aux=True
-    )(params, batch, settings, key)
-
-    updates, opt_state = tx.update(grads, opt_state, params)
-    params = optax.apply_updates(params, updates)
-    bn_stats = {"xyzc_net": update_running_stats(
-        bn_stats["xyzc_net"], new_bn)}
-    scalar_stats["loss"] = loss
-    return params, bn_stats, opt_state, scalar_stats
+    return _one_train_step(params, bn_stats, opt_state, batch, key,
+                           settings, tx, loss=loss)
 
 
 @partial(jax.jit, static_argnames=("settings",))
-def eval_step(params, batch, settings: RenderSettings):
-    """Deterministic forward render (perturb off; ref run.py:50)."""
-    ret, _ = render_rays(params, batch, settings, key=None, train=False)
+def eval_step(params, batch, settings):
+    """Deterministic forward render (perturb off; ref run.py:50).
+
+    Family-generic: the render function is recovered from the static
+    settings type at trace time (renderer/dispatch.py)."""
+    ret, _ = get_render_fn(settings)(params, batch, settings, key=None,
+                                     train=False)
     return ret
 
 
-def _one_train_step(params, bn_stats, opt_state, batch, key, settings, tx):
-    (loss, (_, new_bn, scalar_stats)), grads = jax.value_and_grad(
-        loss_fn, has_aux=True
+def _one_train_step(params, bn_stats, opt_state, batch, key, settings, tx,
+                    loss=None):
+    loss = loss_fn if loss is None else loss
+    (loss_val, (_, new_bn, scalar_stats)), grads = jax.value_and_grad(
+        loss, has_aux=True
     )(params, batch, settings, key)
     updates, opt_state = tx.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
-    bn_stats = {"xyzc_net": update_running_stats(
-        bn_stats["xyzc_net"], new_bn)}
-    scalar_stats["loss"] = loss
+    bn_stats = merge_bn_stats(bn_stats, new_bn)
+    scalar_stats["loss"] = loss_val
     return params, bn_stats, opt_state, scalar_stats
 
 
-@partial(jax.jit, static_argnames=("settings", "tx"),
+@partial(jax.jit, static_argnames=("settings", "tx", "loss"),
          donate_argnames=("params", "bn_stats", "opt_state"))
 def train_step_scan(params, bn_stats, opt_state, batches, keys,
-                    settings: RenderSettings, tx):
+                    settings, tx, loss=None):
     """Run G optimization steps in ONE dispatch via lax.scan.
 
     Host dispatch of a step with ~250 pytree leaves costs >1 ms — more than
@@ -85,7 +106,7 @@ def train_step_scan(params, bn_stats, opt_state, batches, keys,
         params, bn_stats, opt_state = carry
         batch, key = xs
         params, bn_stats, opt_state, stats = _one_train_step(
-            params, bn_stats, opt_state, batch, key, settings, tx)
+            params, bn_stats, opt_state, batch, key, settings, tx, loss=loss)
         return (params, bn_stats, opt_state), stats
 
     (params, bn_stats, opt_state), stats = jax.lax.scan(
@@ -99,16 +120,7 @@ def train_step_scan(params, bn_stats, opt_state, batches, keys,
 # ---------------------------------------------------------------------------
 
 def nerf_loss_fn(params, batch, settings, key):
-    from ..renderer.volume_renderer import render_nerf_rays
-    ret, _ = render_nerf_rays(params, batch, settings, key=key, train=True)
-    img_loss = masked_mse(ret["rgb_map"], batch["rgb"], batch["ray_mask"])
-    loss = img_loss
-    scalar_stats = {"img_loss": img_loss}
-    if "rgb0" in ret:
-        img_loss0 = masked_mse(ret["rgb0"], batch["rgb"], batch["ray_mask"])
-        loss = loss + img_loss0
-        scalar_stats["img_loss0"] = img_loss0
-    scalar_stats["psnr"] = -10.0 * jnp.log10(img_loss)
+    loss, (ret, _, scalar_stats) = loss_fn(params, batch, settings, key)
     return loss, (ret, scalar_stats)
 
 

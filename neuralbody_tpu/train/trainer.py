@@ -16,11 +16,9 @@ import optax
 
 from ..config import build
 from ..datasets.loader import make_data_loader, make_dataset
-from ..models.latent_xyzc import ModelStatic
-from ..models.sparse_conv_net import EncoderStatic
 from ..parallel.mesh import make_mesh, shard_batch
 from ..parallel.train import make_sharded_scan_step
-from .. import evaluators, renderer  # noqa: F401  (registers plugins)
+from .. import evaluators, models, renderer  # noqa: F401  (registers plugins)
 from .checkpoint import load_checkpoint, save_checkpoint
 from .optimizer import make_optimizer
 from .recorder import Recorder, Timer
@@ -34,12 +32,13 @@ class Trainer:
         self.host_id = jax.process_index()
 
         self.train_dataset = make_dataset(cfg, "train")
-        geo = self.train_dataset.geo
-        self.model_static = ModelStatic(
-            encoder=EncoderStatic(out_sh=geo.out_sh, site_caps=geo.site_caps),
-            xyz_res=cfg.xyz_res, view_res=cfg.view_res)
+        self.model_static = build("model_static", cfg.network_module,
+                                  cfg, self.train_dataset)
         self.settings = build("renderer", cfg.renderer_module,
                               cfg, self.model_static)
+        # per-family loss (ref: lib/train/trainers/make_trainer.py:5-14)
+        from . import wrappers  # noqa: F401  (registers trainer plugins)
+        self.loss_fn = build("trainer", cfg.trainer_module, cfg)
 
         init_fn, self.model = build("network", cfg.network_module, cfg)
         self.params, self.bn_stats = init_fn(jax.random.PRNGKey(0))
@@ -101,7 +100,8 @@ class Trainer:
                 one = jax.tree.map(lambda x: x[0], stacked,
                                    is_leaf=lambda x: not isinstance(x, dict))
                 self._step = (g, make_sharded_scan_step(
-                    self.mesh, self.settings, self.tx, one))
+                    self.mesh, self.settings, self.tx, one,
+                    loss=self.loss_fn))
             (self.params, self.bn_stats, self.opt_state,
              stats) = self._step[1](self.params, self.bn_stats,
                                     self.opt_state, batches, keys)

@@ -25,17 +25,12 @@ def _build_eval_state(cfg):
     import jax
 
     from neuralbody_tpu.config import build
-    from neuralbody_tpu import datasets, evaluators, renderer, visualizers  # noqa: F401
+    from neuralbody_tpu import datasets, evaluators, models, renderer, visualizers  # noqa: F401
     from neuralbody_tpu.datasets.loader import make_data_loader, make_dataset
-    from neuralbody_tpu.models.latent_xyzc import ModelStatic
-    from neuralbody_tpu.models.sparse_conv_net import EncoderStatic
     from neuralbody_tpu.train.checkpoint import load_params
 
     dataset = make_dataset(cfg, "test")
-    geo = dataset.geo
-    model_static = ModelStatic(
-        encoder=EncoderStatic(out_sh=geo.out_sh, site_caps=geo.site_caps),
-        xyz_res=cfg.xyz_res, view_res=cfg.view_res)
+    model_static = build("model_static", cfg.network_module, cfg, dataset)
     settings = build("renderer", cfg.renderer_module, cfg, model_static)
 
     init_fn, _ = build("network", cfg.network_module, cfg)

@@ -58,7 +58,10 @@ def translate(node):
             if k.endswith("_path") or k in DROP_KEYS:
                 continue
             if k.endswith("_module") and isinstance(v, str):
-                tail = v.rsplit(".", 1)[-1]
+                # one reference config writes the module with a file suffix
+                # ('lib.train.trainers.nerf.py', nerf_313.yaml:14)
+                tail = v[:-3] if v.endswith(".py") else v
+                tail = tail.rsplit(".", 1)[-1]
                 out[k] = MODULE_MAP.get(tail, tail)
             elif k == "parent_cfg" and isinstance(v, str):
                 out[k] = v  # same relative layout in this repo

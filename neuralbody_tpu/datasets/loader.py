@@ -158,9 +158,13 @@ def make_data_loader(cfg, split, dataset=None, epoch=0, num_hosts=1,
 
     transform = None
     if split == "train":
+        if num_hosts > 1:
+            # multi-host: every host must produce the identical batch
+            # sequence (rays are sharded over the global mesh); pin the
+            # global numpy RNG that drives per-sample ray sampling
+            np.random.seed((epoch * 1000003 + 12345) % (2 ** 31 - 1))
         idx = samplers.epoch_indices(
             len(dataset), epoch, shuffle=cfg.train.shuffle,
-            num_hosts=num_hosts, host_id=host_id,
             ep_iter=cfg.ep_iter * cfg.train.batch_size
             if cfg.ep_iter > 0 else -1)
         chunk = cfg.N_rand

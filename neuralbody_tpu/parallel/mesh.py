@@ -55,10 +55,30 @@ def batch_shardings(mesh: Mesh, batch: dict, stacked: bool = False) -> dict:
     }
 
 
+def _put_global(x, s):
+    """Place a host array under a sharding that may span processes.
+
+    Multi-host: every host holds the same full global batch (loaders are
+    epoch-deterministic; parallel/bootstrap.py) and materializes only its
+    addressable shards via the callback."""
+    x = np.asarray(x)
+    if jax.process_count() > 1:
+        return jax.make_array_from_callback(x.shape, s, lambda idx: x[idx])
+    return jax.device_put(x, s)
+
+
 def shard_batch(mesh: Mesh, batch: dict, stacked: bool = False) -> dict:
     """Device-put a host batch with the canonical shardings."""
     shardings = batch_shardings(mesh, batch, stacked)
     return jax.tree.map(
-        lambda x, s: jax.device_put(x, s), batch, shardings,
+        _put_global, batch, shardings,
         is_leaf=lambda x: not isinstance(x, dict),
     )
+
+
+def replicate_state(mesh: Mesh, tree):
+    """Commit a host-side state pytree (params/opt) replicated over the
+    mesh — required under multi-host so every process contributes its
+    addressable replicas of the same global value."""
+    rep = replicated(mesh)
+    return jax.tree.map(lambda x: _put_global(x, rep), tree)

@@ -47,6 +47,10 @@ class Trainer:
         self.opt_state = self.tx.init(self.params)
 
         self.mesh = make_mesh(cfg.tpu.num_devices)
+        if self.num_hosts > 1:
+            from ..parallel.mesh import replicate_state
+            (self.params, self.bn_stats, self.opt_state) = replicate_state(
+                self.mesh, (self.params, self.bn_stats, self.opt_state))
         self._step = None
         self.hat_state = {}  # persistent hat-planner statics (one compile)
 
@@ -72,13 +76,16 @@ class Trainer:
     # -- train ------------------------------------------------------------
     def train_epoch(self, epoch):
         cfg = self.cfg
+        # Multi-host: every host loads the SAME epoch-deterministic batch
+        # sequence (rays are sharded over the global mesh; each host
+        # materializes only its addressable shards — parallel/mesh.py).
+        # Host-identical PRNG keys keep the SPMD programs aligned.
         loader = make_data_loader(
             cfg, "train", dataset=self.train_dataset, epoch=epoch,
-            num_hosts=self.num_hosts, host_id=self.host_id,
-            hat_state=self.hat_state)
+            num_hosts=self.num_hosts, hat_state=self.hat_state)
         n_iter = len(loader)
         timer = Timer()
-        key = jax.random.PRNGKey(epoch * 100003 + self.host_id)
+        key = jax.random.PRNGKey(epoch * 100003)
 
         G = max(1, int(cfg.tpu.get("steps_per_dispatch", 4)))
         pending = []

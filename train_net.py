@@ -2,6 +2,11 @@
 
 
 def main():
+    # multi-host process group first, before any device query
+    # (ref: train_net.py:93-98 NCCL env:// init)
+    from neuralbody_tpu.parallel.bootstrap import maybe_initialize_distributed
+    maybe_initialize_distributed()
+
     from neuralbody_tpu.config import make_cfg_from_args
     cfg, args = make_cfg_from_args()
     if args.test:

@@ -70,8 +70,12 @@ def parse_args(argv=None):
 
 def make_cfg_from_args(argv=None) -> tuple[CfgNode, argparse.Namespace]:
     args = parse_args(argv)
-    cfg = make_cfg(args.cfg_file, args.opts or [])
+    base = None
     if args.type:
-        cfg.task = "run"
-        _derive(cfg)
+        # ref quirk (config.py:186-187): --type sets task='run' BEFORE the
+        # yaml merge, so any yaml-specified task overrides it — run.py must
+        # read checkpoints from the experiment's own task directory
+        base = default_cfg()
+        base.task = "run"
+    cfg = make_cfg(args.cfg_file, args.opts or [], base=base)
     return cfg, args

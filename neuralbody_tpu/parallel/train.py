@@ -12,9 +12,52 @@ import jax
 import optax
 from jax.sharding import Mesh
 
+from ..renderer.dispatch import get_render_fn
 from ..renderer.renderer import RenderSettings
 from ..train.step import _one_train_step
 from .mesh import batch_shardings, replicated
+
+
+def make_sharded_eval_step(mesh: Mesh, settings, example_batch: dict):
+    """Deterministic eval render with rays sharded over the mesh.
+
+    Parallelizes the reference's single-GPU whole-image eval loop
+    (ref: if_clight_renderer.py:106-117): a 512^2 eval image's ~260k
+    padded rays split across all chips; the feature volume is encoded
+    replicated per chip, ray chunks stream through lax.map per shard.
+    Eval batches are padded to chunk_rays multiples (datasets/loader.py
+    collate), which covers any power-of-two device count.
+    """
+    rep = replicated(mesh)
+    b_shardings = batch_shardings(mesh, example_batch)
+    render = get_render_fn(settings)
+
+    def step(params, batch):
+        ret, _ = render(params, batch, settings, key=None, train=False)
+        return ret
+
+    return jax.jit(step, in_shardings=(rep, b_shardings),
+                   out_shardings=rep)
+
+
+class ShardedEval:
+    """Callable eval renderer over a mesh, caching one compiled step per
+    padded ray count (eval batches pad the variable hit-ray count to
+    chunk_rays multiples; shapes recur across frames)."""
+
+    def __init__(self, mesh: Mesh, settings):
+        self.mesh = mesh
+        self.settings = settings
+        self._steps = {}
+
+    def __call__(self, params, device_batch: dict):
+        from .mesh import shard_batch
+        n_rays = device_batch["ray_o"].shape[1]
+        if n_rays not in self._steps:
+            self._steps[n_rays] = make_sharded_eval_step(
+                self.mesh, self.settings, device_batch)
+        batch = shard_batch(self.mesh, device_batch)
+        return self._steps[n_rays](params, batch)
 
 
 def make_sharded_train_step(mesh: Mesh, settings: RenderSettings,

@@ -176,12 +176,14 @@ class Trainer:
 
     # -- eval -------------------------------------------------------------
     def validate(self):
+        """Whole-image evaluation with rays sharded over the mesh (the
+        reference evaluates on one GPU; if_clight_renderer.py:106-117)."""
         cfg = self.cfg
-        from .step import eval_step
+        from ..parallel.train import ShardedEval
         loader = make_data_loader(cfg, "test")
+        eval_fn = ShardedEval(self.mesh, self.settings)
         for device_batch, meta in loader:
-            batch = jax.tree.map(jnp.asarray, device_batch)
-            ret = eval_step(self.params, batch, self.settings)
+            ret = eval_fn(self.params, device_batch)
             if self.is_primary:
                 self.evaluator.evaluate(
                     jax.tree.map(np.asarray, ret), device_batch, meta)

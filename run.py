@@ -38,8 +38,13 @@ def _build_eval_state(cfg):
     params, bn_stats, _ = load_params(
         cfg.trained_model_dir, params, bn_stats, epoch=cfg.test.epoch)
 
+    # eval renders shard rays over all devices (ref evaluates on one GPU)
+    from neuralbody_tpu.parallel.mesh import make_mesh
+    from neuralbody_tpu.parallel.train import ShardedEval
+    eval_fn = ShardedEval(make_mesh(cfg.tpu.num_devices), settings)
+
     loader = make_data_loader(cfg, "test", dataset=dataset)
-    return params, settings, loader
+    return params, settings, loader, eval_fn
 
 
 def run_dataset(cfg):
@@ -53,18 +58,16 @@ def run_dataset(cfg):
 
 
 def run_network(cfg):
-    import jax
     import jax.numpy as jnp
 
-    from neuralbody_tpu.train.step import eval_step
-
-    params, settings, loader = _build_eval_state(cfg)
+    params, settings, loader, eval_fn = _build_eval_state(cfg)
     times = []
     for i, (device_batch, meta) in enumerate(loader):
-        batch = jax.tree.map(jnp.asarray, device_batch)
         t0 = time.perf_counter()
-        ret = eval_step(params, batch, settings)
-        jax.block_until_ready(ret["rgb_map"])
+        ret = eval_fn(params, device_batch)
+        # fetch a scalar: block_until_ready returns early on the tunneled
+        # TPU and measures dispatch only (CLAUDE.md TPU timing gotcha)
+        float(jnp.sum(ret["rgb_map"]))
         if i > 0:  # skip compile
             times.append(time.perf_counter() - t0)
         if i >= 10:
@@ -75,17 +78,14 @@ def run_network(cfg):
 
 def run_evaluate(cfg):
     import jax
-    import jax.numpy as jnp
     import numpy as np
 
     from neuralbody_tpu.config import build
-    from neuralbody_tpu.train.step import eval_step
 
-    params, settings, loader = _build_eval_state(cfg)
+    params, settings, loader, eval_fn = _build_eval_state(cfg)
     evaluator = build("evaluator", cfg.evaluator_module, cfg)
     for device_batch, meta in loader:
-        batch = jax.tree.map(jnp.asarray, device_batch)
-        ret = eval_step(params, batch, settings)
+        ret = eval_fn(params, device_batch)
         evaluator.evaluate(jax.tree.map(np.asarray, ret), device_batch, meta)
     return evaluator.summarize()
 
@@ -96,19 +96,16 @@ def run_visualize(cfg):
     import numpy as np
 
     from neuralbody_tpu.config import build
-    from neuralbody_tpu.renderer.renderer import render_density_grid
-    from neuralbody_tpu.train.step import eval_step
 
-    params, settings, loader = _build_eval_state(cfg)
+    params, settings, loader, eval_fn = _build_eval_state(cfg)
     visualizer = build("visualizer", cfg.visualizer_module, cfg)
     for device_batch, meta in loader:
-        batch = jax.tree.map(jnp.asarray, device_batch)
         if cfg.vis_mesh:
             from neuralbody_tpu.renderer.mesh import extract_mesh
+            batch = jax.tree.map(jnp.asarray, device_batch)
             output = extract_mesh(params, batch, meta, settings, cfg)
         else:
-            output = jax.tree.map(
-                np.asarray, eval_step(params, batch, settings))
+            output = jax.tree.map(np.asarray, eval_fn(params, device_batch))
         visualizer.visualize(output, device_batch, meta)
 
 

@@ -64,6 +64,26 @@ def test_sharded_step_matches_single_device(setup):
         p1, p8)
 
 
+def test_sharded_eval_matches_single_device(setup):
+    """VERDICT #5: eval render with rays sharded over the mesh must equal
+    the plain single-device eval (ref evaluates on one GPU)."""
+    from neuralbody_tpu.parallel.train import ShardedEval
+    from neuralbody_tpu.train.step import eval_step
+
+    batch, settings, params, bn_stats = setup
+
+    single = eval_step(params, batch, settings)
+    sharded = ShardedEval(make_mesh(8), settings)(
+        params, jax.tree.map(np.asarray, batch))
+
+    np.testing.assert_allclose(
+        np.asarray(single["rgb_map"]), np.asarray(sharded["rgb_map"]),
+        rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(single["depth_map"]), np.asarray(sharded["depth_map"]),
+        rtol=1e-5, atol=1e-6)
+
+
 def test_dryrun_multichip():
     import sys
     sys.path.insert(0, "/root/repo")

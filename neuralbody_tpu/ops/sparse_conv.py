@@ -346,14 +346,16 @@ def masked_batch_norm(x, mask, scale, bias, eps=1e-3):
     x: [..., S, C]; mask: [..., S]. Statistics are over all leading dims and
     S, weighted by mask — matches torch BatchNorm1d over the concatenated
     active-site list of the whole batch. Returns normalized x (zeroed at
-    padded rows) plus the batch (mean, biased var) for running-stat updates.
+    padded rows) plus batch (mean, var) for running-stat updates, where the
+    returned var is UNBIASED (n/(n-1)) to match what torch BatchNorm1d
+    stores in running_var — normalization itself uses the biased var.
     """
     m = mask[..., None]
     n = jnp.maximum(jnp.sum(m), 1.0)
     mean = jnp.sum(x * m, axis=tuple(range(x.ndim - 1))) / n
     var = jnp.sum(((x - mean) ** 2) * m, axis=tuple(range(x.ndim - 1))) / n
     y = (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
-    return y * m, (mean, var)
+    return y * m, (mean, var * (n / jnp.maximum(n - 1.0, 1.0)))
 
 
 def scatter_dense(feats, sites, out_sh_lvl):

@@ -93,6 +93,12 @@ def default_cfg() -> CfgNode:
         dict(type="multi_step", milestones=[80, 120, 200, 240], gamma=0.5,
              decay_epochs=1000)
     )
+    # multi-scale batch sampler (ref: config.py:70-71, samplers.py:10-47)
+    cfg.train.batch_sampler = "default"
+    cfg.train.sampler_meta = CfgNode(
+        dict(min_hw=[256, 256], max_hw=[480, 640], strategy="range",
+             n_buckets=4)
+    )
     cfg.ep_iter = -1
     cfg.save_ep = 100
     cfg.save_latest_ep = 5
@@ -106,6 +112,11 @@ def default_cfg() -> CfgNode:
     cfg.test.batch_size = 1
     cfg.test.epoch = -1
     cfg.test.sampler = "default"
+    cfg.test.batch_sampler = "default"
+    cfg.test.sampler_meta = CfgNode(
+        dict(min_hw=[480, 640], max_hw=[480, 640], strategy="origin",
+             n_buckets=1)
+    )
     cfg.test.frame_sampler_interval = 30
     cfg.skip_eval = False
     cfg.test_novel_pose = False

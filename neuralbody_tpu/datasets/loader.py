@@ -169,6 +169,18 @@ def make_data_loader(cfg, split, dataset=None, epoch=0, num_hosts=1,
             if cfg.ep_iter > 0 else -1)
         chunk = cfg.N_rand
         bs = cfg.train.batch_size
+        if cfg.train.batch_sampler == "image_size":
+            # multi-scale training (ref make_dataset.py:57 + ImageSize-
+            # BatchSampler): per-batch bucketed (h, w) rides along as
+            # (index, h, w) tuples; train device shapes stay static
+            # (N_rand rays) regardless of image size
+            meta = cfg.train.sampler_meta
+            batches = samplers.image_size_batches(
+                idx, bs, tuple(meta.min_hw), tuple(meta.max_hw),
+                epoch=epoch, strategy=meta.strategy,
+                n_buckets=int(meta.get("n_buckets", 4)), drop_last=True)
+            idx = [(i, h, w) for chunk_idx, (h, w) in batches
+                   for i in chunk_idx]
         # hat planning is a latent_xyzc-only interpolation path; other
         # families (nerf, tpose) sample z on device
         if (cfg.tpu.interp_mode == "hat" and hasattr(dataset, "geo")

@@ -114,6 +114,13 @@ class MultiViewDataset:
 
     def __getitem__(self, index):
         cfg = self.cfg
+        # image-size batch sampler passes (index, h, w); h=-1 keeps the
+        # native ratio-scaled size (ref samplers.py:23-24, strategy=origin)
+        target_hw = None
+        if isinstance(index, tuple):
+            index, th, tw = index
+            if th > 0:
+                target_hw = (int(th), int(tw))
         img_path = os.path.join(self.data_root, self.ims[index])
         img = imageio.imread(img_path).astype(np.float32) / 255.0
         img = cv2.resize(img, (cfg.W, cfg.H))
@@ -128,13 +135,19 @@ class MultiViewDataset:
         R = np.array(self.cams["R"][cam_ind])
         T = np.array(self.cams["T"][cam_ind]) / 1000.0
 
-        H, W = int(img.shape[0] * cfg.ratio), int(img.shape[1] * cfg.ratio)
+        if target_hw is None:
+            H, W = int(img.shape[0] * cfg.ratio), int(img.shape[1] * cfg.ratio)
+            sy = sx = cfg.ratio
+        else:
+            H, W = target_hw
+            sy, sx = H / img.shape[0], W / img.shape[1]
         img = cv2.resize(img, (W, H), interpolation=cv2.INTER_AREA)
         msk = cv2.resize(msk, (W, H), interpolation=cv2.INTER_NEAREST)
         if cfg.mask_bkgd:
             img[msk == 0] = 1 if cfg.white_bkgd else 0
         K = K.copy()
-        K[:2] = K[:2] * cfg.ratio
+        K[0] = K[0] * sx
+        K[1] = K[1] * sy
 
         i = self.frame_number(img_path)
         frame_index = i - 1 if self.human in ["CoreView_313",

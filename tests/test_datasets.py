@@ -145,6 +145,24 @@ class TestZJUDataset:
         assert b["ray_mask"].shape == (1, 64)
         assert b["Th"].shape == (1, 1, 3)
 
+    def test_loader_image_size_batch_sampler(self, zju_root):
+        """cfg.train.batch_sampler='image_size' draws bucketed multi-scale
+        sizes per batch (ref make_dataset.py:57, samplers.py:10-47); the
+        device ray shapes stay static at N_rand."""
+        cfg = zju_cfg(zju_root)
+        cfg.ep_iter = 12
+        cfg.train.batch_sampler = "image_size"
+        cfg.train.sampler_meta.min_hw = [32, 32]
+        cfg.train.sampler_meta.max_hw = [64, 64]
+        loader = make_data_loader(cfg, "train")
+        sizes = set()
+        for b, meta in loader:
+            assert b["rgb"].shape == (1, 64, 3)  # static device shape
+            sizes.add(tuple(meta["img_hw"]))
+        assert len(sizes) >= 2, sizes  # >=2 distinct bucketed sizes drawn
+        for h, w in sizes:
+            assert h % 32 == 0 and w % 32 == 0
+
     def test_novel_pose_window(self, zju_root):
         cfg = zju_cfg(zju_root)
         cfg.test_novel_pose = True

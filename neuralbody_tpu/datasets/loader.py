@@ -31,9 +31,15 @@ def pad_to(x, n, axis=0):
 
 
 def collate(samples, chunk_rays):
-    """Stack samples into a (device_batch, meta) pair with padded rays."""
-    n_rays = max(s["rgb"].shape[0] for s in samples)
-    n_rays = -(-n_rays // chunk_rays) * chunk_rays
+    """Stack samples into a (device_batch, meta) pair with padded rays.
+
+    Mesh batches carry no rays (dense grid 'pts', pre-padded by the
+    dataset to pt_chunk multiples); everything else pads the variable ray
+    count up to a chunk_rays multiple with ray_mask=0 entries."""
+    has_rays = "rgb" in samples[0]
+    if has_rays:
+        n_rays = max(s["rgb"].shape[0] for s in samples)
+        n_rays = -(-n_rays // chunk_rays) * chunk_rays
 
     device, meta = {}, {}
     for key in samples[0]:
@@ -42,17 +48,18 @@ def collate(samples, chunk_rays):
             device["geom"] = {
                 k: np.stack([v[k] for v in vals]) for k in vals[0]
             }
-        elif key in ("rgb", "ray_o", "ray_d", "near", "far", "pts"):
+        elif has_rays and key in ("rgb", "ray_o", "ray_d", "near", "far"):
             device[key] = np.stack([pad_to(np.asarray(v), n_rays) for v in vals])
         elif key in DEVICE_KEYS:
             device[key] = np.stack([np.asarray(v) for v in vals])
         else:
             meta[key] = vals if len(vals) > 1 else vals[0]
 
-    device["ray_mask"] = np.stack([
-        pad_to(np.ones(s["rgb"].shape[0], np.float32), n_rays)
-        for s in samples
-    ])
+    if has_rays:
+        device["ray_mask"] = np.stack([
+            pad_to(np.ones(s["rgb"].shape[0], np.float32), n_rays)
+            for s in samples
+        ])
     device["Th"] = device["Th"].reshape(len(samples), 1, 3)
     return device, meta
 

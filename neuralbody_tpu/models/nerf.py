@@ -52,6 +52,19 @@ def init(key, st_coarse: NerfStatic, st_fine: NerfStatic | None = None):
     return params, {}
 
 
+def apply_density(params, pts, st: NerfStatic):
+    """Density-only trunk eval: pts [N, 3] -> alpha [N] (the nerf_mesh
+    baseline's forward; ref lib/networks/nerf_mesh.py:45-54 runs only
+    pts_linears + alpha head, no viewdir branch)."""
+    input_pts = positional_encoding(pts, st.xyz_res)
+    h = input_pts
+    for i, layer in enumerate(params["pts_linears"]):
+        h = jax.nn.relu(dense(layer, h))
+        if i in st.skips:
+            h = jnp.concatenate([input_pts, h], axis=-1)
+    return dense(params["alpha_linear"], h)[:, 0]
+
+
 def apply_mlp(params, pts, viewdirs, st: NerfStatic):
     """pts [N, 3], viewdirs [N, 3] -> raw [N, 4] (rgb logits + sigma)."""
     input_pts = positional_encoding(pts, st.xyz_res)
@@ -92,3 +105,17 @@ def make(cfg):
 
     import sys
     return init_fn, sys.modules[__name__]
+
+
+@register("model_static", "nerf_mesh")
+def make_static_mesh(cfg, dataset):
+    return None
+
+
+@register("network", "nerf_mesh")
+def make_mesh_net(cfg):
+    """Density-only NeRF for mesh extraction (ref: lib/networks/
+    nerf_mesh.py:96-138). Same param tree as the nerf family so a trained
+    nerf checkpoint loads directly; density comes from the coarse trunk
+    (the reference's self.model)."""
+    return make(cfg)

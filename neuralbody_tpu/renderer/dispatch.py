@@ -29,3 +29,19 @@ def get_render_fn(settings):
         return render_rays
     raise TypeError(
         f"no render function for settings type {type(settings).__name__}")
+
+
+def get_density_grid_fn(settings):
+    """Map Settings to the dense-grid density evaluator used by mesh
+    extraction: latent_xyzc's multi-scale-volume decode or the NeRF
+    baseline's density-only trunk (ref: if_mesh_renderer.py:26-39 vs
+    volume_mesh_renderer.py:84-107)."""
+    from .renderer import RenderSettings, render_density_grid
+    from .volume_renderer import NerfRenderSettings, render_nerf_density_grid
+
+    if isinstance(settings, NerfRenderSettings):
+        return render_nerf_density_grid
+    if isinstance(settings, RenderSettings):
+        return render_density_grid
+    raise TypeError(
+        f"no density-grid function for {type(settings).__name__}")

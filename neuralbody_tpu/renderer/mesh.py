@@ -12,14 +12,16 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.mcubes import marching_cubes
-from .renderer import RenderSettings, render_density_grid
+from .dispatch import get_density_grid_fn
 
 
-def extract_mesh(params, batch, meta, settings: RenderSettings, cfg):
+def extract_mesh(params, batch, meta, settings, cfg):
     """batch['pts'] are padded inside-hull points; meta carries the dense
-    grid shape and inside mask. Returns dict(cube, vertices, triangles)."""
+    grid shape and inside mask. Returns dict(cube, vertices, triangles).
+    The density evaluator is family-dispatched on the settings type."""
     pt_chunk = int(cfg.tpu.mesh_pt_chunk)
-    alpha = np.asarray(render_density_grid(
+    density_fn = get_density_grid_fn(settings)
+    alpha = np.asarray(density_fn(
         params, batch, settings, pt_chunk=min(
             pt_chunk, batch["pts"].shape[1])))[0]
 

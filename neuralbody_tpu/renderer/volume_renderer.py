@@ -111,6 +111,39 @@ def render_nerf_rays(params, batch, settings: NerfRenderSettings, key=None,
     return jax.tree.map(lambda *xs: jnp.stack(xs), *rets), {}
 
 
+def render_nerf_density_grid(params, batch, settings: NerfRenderSettings,
+                             pt_chunk: int = 2048 * 64):
+    """Evaluate NeRF density at a padded dense point grid (nerf mesh path;
+    ref: lib/networks/renderer/volume_mesh_renderer.py:84-107 evaluates
+    alpha at inside-hull points in cfg.chunk batches). batch['pts'] is
+    [B, P, 3]; returns alpha [B, P] from the coarse trunk."""
+    s = settings
+    B, P = batch["pts"].shape[:2]
+
+    outs = []
+    for b in range(B):
+        def density_chunk(pts):
+            return nerf.apply_density(params["coarse"], pts, s.model)
+
+        chunk = min(pt_chunk, P)
+        nc = P // chunk
+        pts = batch["pts"][b].reshape(nc, chunk, 3)
+        alpha = (density_chunk(pts[0]) if nc == 1
+                 else jax.lax.map(density_chunk, pts).reshape(P))
+        outs.append(alpha.reshape(P))
+    return jnp.stack(outs)
+
+
+@register("renderer", "volume_mesh_renderer")
+def make_volume_mesh_renderer(cfg, model_static):
+    st = nerf.NerfStatic(depth=cfg.netdepth, width=cfg.netwidth,
+                         xyz_res=cfg.xyz_res, view_res=cfg.view_res)
+    return NerfRenderSettings(
+        model=st, n_samples=cfg.N_samples, n_importance=cfg.N_importance,
+        perturb=False, white_bkgd=bool(cfg.white_bkgd),
+        chunk_rays=int(cfg.tpu.chunk_rays))
+
+
 @register("renderer", "volume_renderer")
 def make_volume_renderer(cfg, model_static):
     st = nerf.NerfStatic(depth=cfg.netdepth, width=cfg.netwidth,

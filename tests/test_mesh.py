@@ -101,3 +101,41 @@ class TestMeshPipeline:
         assert out["cube"].shape == tuple(s + 20 for s in grid_shape)
         assert len(out["vertices"]) > 0
         assert out["triangles"].max() < len(out["vertices"])
+
+    def test_nerf_mesh_density_and_extract(self):
+        """NeRF mesh baseline (ref nerf_mesh.py:96-138 +
+        volume_mesh_renderer.py:84-107): density-only trunk eval on a
+        dense grid, family-dispatched through extract_mesh."""
+        import jax.numpy as jnp
+        from neuralbody_tpu.config import make_cfg
+        from neuralbody_tpu.models import nerf
+        from neuralbody_tpu.renderer.mesh import extract_mesh
+        from neuralbody_tpu.renderer.volume_renderer import (
+            NerfRenderSettings, render_nerf_density_grid)
+
+        st = nerf.NerfStatic(depth=2, width=32)
+        params, _ = nerf.init(jax.random.PRNGKey(0), st, st)
+        settings = NerfRenderSettings(model=st, model_fine=st)
+
+        grid_shape = (16, 16, 16)
+        lin = [np.linspace(-0.5, 0.5, s) for s in grid_shape]
+        pts = np.stack(np.meshgrid(*lin, indexing="ij"), -1).reshape(-1, 3)
+        batch = {"pts": jnp.asarray(pts[None], jnp.float32)}
+
+        alpha = np.asarray(render_nerf_density_grid(
+            params, batch, settings, pt_chunk=1024))[0]
+        assert alpha.shape == (pts.shape[0],)
+        assert np.isfinite(alpha).all()
+        # oracle: density == coarse trunk alpha head at the same points
+        ref = np.asarray(nerf.apply_density(
+            params["coarse"], jnp.asarray(pts, jnp.float32), st))
+        np.testing.assert_allclose(alpha, ref, rtol=1e-5, atol=1e-6)
+
+        cfg = make_cfg()
+        cfg.mesh_th = float((alpha.min() + alpha.max()) / 2)
+        cfg.voxel_size = [0.0625] * 3
+        cfg.tpu.mesh_pt_chunk = 1024
+        meta = {"inside": np.ones(grid_shape, bool),
+                "grid_min_xyz": np.array([-0.5, -0.5, -0.5], np.float32)}
+        out = extract_mesh(params, batch, meta, settings, cfg)
+        assert len(out["vertices"]) > 0

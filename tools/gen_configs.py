@@ -31,13 +31,13 @@ MODULE_MAP = {
     "latent_xyzc": "latent_xyzc",
     "tpose_xyzc": "tpose_xyzc",
     "nerf": "nerf",
-    "nerf_mesh": "nerf",
+    "nerf_mesh": "nerf_mesh",
     "if_clight_renderer": "if_clight_renderer",
     "if_clight_renderer_mmsk": "if_clight_renderer_mmsk",
     "if_clight_renderer_msk": "if_clight_renderer_msk",
     "if_mesh_renderer": "if_mesh_renderer",
     "volume_renderer": "volume_renderer",
-    "volume_mesh_renderer": "if_mesh_renderer",
+    "volume_mesh_renderer": "volume_mesh_renderer",
     "tpose_renderer": "tpose_renderer",
     "if_nerf_clight": "if_nerf_clight",
     "tpose": "tpose",
@@ -93,6 +93,16 @@ def main():
                 print(f"skip {rel}: malformed reference yaml ({e.__class__.__name__})")
                 continue
             data = translate(data)
+            # the reference nerf configs pair mesh_cfg with the latent_xyzc
+            # NETWORK but the volume_mesh_renderer (ref nerf_313.yaml:
+            # 127-139) — a combination whose forward signatures don't even
+            # match upstream; wire the density-only nerf_mesh net instead
+            # so the nerf mesh path actually runs
+            if (data.get("network_module") == "nerf"
+                    and isinstance(data.get("mesh_cfg"), dict)
+                    and data["mesh_cfg"].get("renderer_module")
+                    == "volume_mesh_renderer"):
+                data["mesh_cfg"]["network_module"] = "nerf_mesh"
             out_path = osp.join(args.out, rel)
             os.makedirs(osp.dirname(out_path), exist_ok=True)
             with open(out_path, "w") as f:

@@ -64,6 +64,8 @@ def default_cfg() -> CfgNode:
     cfg.ratio = 0.5
     cfg.big_box = False
     cfg.voxel_size = [0.005, 0.005, 0.005]  # dhw
+    cfg.ptot_vsize = [0.02, 0.02, 0.02]  # t-pose warped grid voxels
+    cfg.warping_dir = "warping"          # prepare_warping.py output dir
     cfg.rot_ratio = 0.0
     cfg.rot_range = float(np.pi / 32)
     cfg.body_sample_ratio = 0.5

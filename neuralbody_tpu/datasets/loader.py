@@ -18,7 +18,8 @@ from . import samplers
 
 DEVICE_KEYS = ("geom", "rgb", "ray_o", "ray_d", "near", "far", "ray_mask",
                "R", "Th", "bounds", "latent_index", "Ks", "RT", "msks", "pts",
-               "R0_snap", "Th0_snap", "K")
+               "R0_snap", "Th0_snap", "K",
+               "tbounds", "pbounds", "ptot_pts")
 
 
 def pad_to(x, n, axis=0):

@@ -109,9 +109,10 @@ def decode(params, feat, wpts, viewdir, latent_index, static: TposeStatic):
 
 @register("model_static", "tpose_xyzc")
 def make_static(cfg, dataset):
-    """T-pose statics: the encoder grid lives in T-pose space and the warped
-    posed grid shape comes from the dataset (tpose dataset's ptot_shape)."""
-    geo = dataset.geo
+    """T-pose statics: the encoder grid lives in T-pose space (the tpose
+    dataset's tgeo, NOT the posed-frame geo) and the warped posed grid
+    shape is the dataset's static ptot_shape."""
+    geo = getattr(dataset, "tgeo", dataset.geo)
     return TposeStatic(
         encoder=sparse_conv_net.EncoderStatic(
             out_sh=geo.out_sh, site_caps=geo.site_caps),

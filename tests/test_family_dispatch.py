@@ -91,6 +91,44 @@ class TestNerfFamilyHarness:
         assert resolve("trainer", "lib.train.trainers.nerf.py") is not None
 
 
+class TestTposeFamilyHarness:
+    def test_tpose_trains_and_validates_via_trainer(self, zju_root, tmp_path,
+                                                    monkeypatch):
+        """configs/tpose/tpose_313-style experiment: tpose dataset
+        (prepare_warping fixtures) + tpose_xyzc + tpose_renderer through
+        the full harness (VERDICT r1 #7)."""
+        from fake_data import add_fake_warping
+        add_fake_warping(zju_root, n_verts=N_VERTS)
+
+        monkeypatch.chdir(tmp_path)
+        cfg = base_cfg(zju_root)
+        cfg.train_dataset_module = "tpose"
+        cfg.test_dataset_module = "tpose"
+        cfg.network_module = "tpose_xyzc"
+        cfg.renderer_module = "tpose_renderer"
+        cfg.trainer_module = "tpose"
+        cfg.ptot_vsize = [0.04, 0.04, 0.04]
+
+        from neuralbody_tpu.train.trainer import Trainer
+        trainer = Trainer(cfg)
+        trainer.fit()
+        assert trainer.recorder.step == 4
+        metrics = trainer.validate()
+        assert np.isfinite(metrics["psnr"])
+
+    def test_tpose_config_yaml_resolves(self):
+        cfg = make_cfg(cfg_file="configs/tpose/tpose_313.yaml")
+        from neuralbody_tpu.config import resolve
+        from neuralbody_tpu import datasets, models, renderer  # noqa: F401
+        from neuralbody_tpu.train import wrappers  # noqa: F401
+        for kind, name in [("network", cfg.network_module),
+                           ("renderer", cfg.renderer_module),
+                           ("trainer", cfg.trainer_module),
+                           ("dataset", cfg.train_dataset_module),
+                           ("model_static", cfg.network_module)]:
+            assert resolve(kind, name) is not None
+
+
 class TestClightFamilyStillWorks:
     def test_clight_trains_one_epoch(self, zju_root, tmp_path, monkeypatch):
         monkeypatch.chdir(tmp_path)

@@ -75,6 +75,10 @@ def main():
     out_dir = osp.join(args.data_root, args.out_dir)
     os.makedirs(out_dir, exist_ok=True)
 
+    # canonical template vertices: the tpose dataset voxelizes these
+    np.save(osp.join(args.data_root, "tvertices.npy"),
+            np.asarray(model["v_template"], np.float32))
+
     for fn in sorted(os.listdir(params_dir),
                      key=lambda s: int(s.split(".")[0])):
         i = fn.split(".")[0]

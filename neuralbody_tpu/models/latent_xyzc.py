@@ -75,9 +75,8 @@ def encode_sparse_voxels(params, geom, static: ModelStatic, densify=True):
     each leaf [B, ...]. Returns (volumes | site_feats, new_bn_stats).
     """
     cap0 = static.encoder.site_caps[0]
-    codes = jax.vmap(
-        lambda vidx: scatter_vertex_codes(params["vertex_code"], vidx, cap0)
-    )(geom["vert_idx"])
+    codes = scatter_vertex_codes(params["vertex_code"], geom["vert_idx"],
+                                 cap0)
     fn = sparse_conv_net.apply if densify else sparse_conv_net.apply_sites
     return fn(params["xyzc_net"], codes, geom, static.encoder)
 

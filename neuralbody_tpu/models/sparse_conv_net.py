@@ -86,12 +86,13 @@ def _conv_bn_relu(layer, feats, table, mask, up_table=None):
     BN statistics are joint over the batch's active sites. Convs use the
     scatter-free custom-VJP primitives (up_table given => strided conv).
     """
+    # batch-native conv ops: a vmapped gather lowers to a batched gather
+    # (operand_batching_dims) which misses the TPU fast row-gather path
+    # (~2.5x slower in situ); the primitives flatten batch into rows
     if up_table is None:
-        y = jax.vmap(subm_conv, in_axes=(0, None, 0))(
-            feats, layer["w"], table)
+        y = subm_conv(feats, layer["w"], table)
     else:
-        y = jax.vmap(down_conv, in_axes=(0, None, 0, 0))(
-            feats, layer["w"], table, up_table)
+        y = down_conv(feats, layer["w"], table, up_table)
     y, bn_batch = masked_batch_norm(
         y, mask, layer["bn_scale"], layer["bn_bias"], eps=BN_EPS
     )

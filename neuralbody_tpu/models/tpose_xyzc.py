@@ -58,9 +58,8 @@ def init(key, num_train_frame: int, nv: int = 6890, code_dim: int = 16,
 def encode_tpose_voxels(params, geom, static: TposeStatic):
     """T-pose vertex codes -> 4 multi-scale T-pose volumes."""
     cap0 = static.encoder.site_caps[0]
-    codes = jax.vmap(
-        lambda vidx: scatter_vertex_codes(params["vertex_code"], vidx, cap0)
-    )(geom["vert_idx"])
+    codes = scatter_vertex_codes(params["vertex_code"], geom["vert_idx"],
+                                 cap0)
     return sparse_conv_net.apply(params["xyzc_net"], codes, geom,
                                  static.encoder)
 

@@ -238,42 +238,66 @@ def site_mask(nsite, cap, dtype=jnp.float32):
 def scatter_vertex_codes(codes, vert_idx, cap):
     """Sum per-vertex codes into their level-0 site rows.
 
-    codes: [nv, C]; vert_idx: [nv] (rows in [0, cap], cap = dump row).
-    Duplicate-voxel vertices are sum-combined so every vertex code receives
-    gradient (the reference feeds duplicates to spconv unspecified; sum is
-    the principled TPU-native choice).
-    """
+    codes: [nv, C]; vert_idx: [nv] or [B, nv] (rows in [0, cap], cap =
+    dump row). Duplicate-voxel vertices are sum-combined so every vertex
+    code receives gradient (the reference feeds duplicates to spconv
+    unspecified; sum is the principled TPU-native choice). Batched
+    indices flatten to one scatter (batched scatters hit slow TPU paths,
+    like batched gathers)."""
     C = codes.shape[-1]
-    out = jnp.zeros((cap + 1, C), codes.dtype)
-    out = out.at[vert_idx].add(codes)
-    return out[:cap]
+    if vert_idx.ndim == 1:
+        out = jnp.zeros((cap + 1, C), codes.dtype)
+        out = out.at[vert_idx].add(codes)
+        return out[:cap]
+    B, nv = vert_idx.shape
+    offs = (jnp.arange(B, dtype=vert_idx.dtype) * (cap + 1))[:, None]
+    flat_idx = (vert_idx + offs).reshape(-1)
+    out = jnp.zeros((B * (cap + 1), C), codes.dtype)
+    out = out.at[flat_idx].add(jnp.broadcast_to(codes, (B, nv, C))
+                               .reshape(B * nv, C))
+    return out.reshape(B, cap + 1, C)[:, :cap]
 
 
 def gather_taps(feats, table):
-    """feats [S, C] (+ implicit zero row) gathered by TAP-MAJOR table
-    [27, S_out].
+    """feats [S, C] or [B, S, C] (+ implicit zero row per batch) gathered
+    by TAP-MAJOR table [27, S_out] / [B, 27, S_out].
 
-    Returns [27, S_out, C]. Index S (== len(feats)) reads the zero row.
-    Tap-major layout matters: the gather output then feeds a batched
-    matmul directly, whereas site-major [S_out, 27, C] forces an XLA
-    relayout copy before the contraction (~1.8x slower per conv layer on
-    a v5e at the reference working point; tools/probes/conv_formulations).
+    Returns [27, S_out, C] / [B, 27, S_out, C]. Index S (== len(feats))
+    reads the zero row. Tap-major layout matters: the gather output then
+    feeds a batched matmul directly, whereas site-major [S_out, 27, C]
+    forces an XLA relayout copy before the contraction (~1.8x slower per
+    conv layer on a v5e; tools/probes/conv_formulations).
+
+    Batched inputs are FLATTENED to one 2D row gather with per-batch row
+    offsets: a vmapped gather lowers to operand_batching_dims, which
+    misses the TPU fast row-gather path (measured ~2.5x slower in situ).
     """
-    fpad = jnp.concatenate([feats, jnp.zeros_like(feats[:1])], axis=0)
-    return fpad[table]
+    if feats.ndim == 2:
+        fpad = jnp.concatenate([feats, jnp.zeros_like(feats[:1])], axis=0)
+        return fpad[table]
+    B, S, C = feats.shape
+    fpad = jnp.concatenate(
+        [feats, jnp.zeros((B, 1, C), feats.dtype)], axis=1)
+    flat = fpad.reshape(B * (S + 1), C)
+    offs = (jnp.arange(B, dtype=table.dtype) * (S + 1)).reshape(B, 1, 1)
+    return flat[table + offs]                           # [B, 27, S', C]
 
 
 def sparse_conv_matmul(gathered, w):
-    """[27, S, Cin] x [27, Cin, Cout] -> [S, Cout] on the MXU.
+    """[(B,) 27, S, Cin] x [27, Cin, Cout] -> [(B,) S, Cout] on the MXU.
 
     Batched matmul over the tap axis, then a tap-sum — the layout-friendly
     contraction for TPU (see gather_taps).
     """
-    per_tap = jax.lax.dot_general(
-        gathered, w, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )                                                   # [27, S, Cout]
-    return jnp.sum(per_tap, axis=0)
+    if gathered.ndim == 3:
+        per_tap = jax.lax.dot_general(
+            gathered, w, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                               # [27, S, Cout]
+        return jnp.sum(per_tap, axis=0)
+    per_tap = jnp.einsum("bksc,kcd->bksd", gathered, w,
+                         preferred_element_type=jnp.float32)
+    return jnp.sum(per_tap, axis=1)
 
 
 # -- scatter-free conv primitives (custom VJP) ------------------------------
@@ -295,7 +319,8 @@ def sparse_conv_matmul(gathered, w):
 
 @jax.custom_vjp
 def subm_conv(x, w, nbr):
-    """Submanifold conv: x [S, Cin], w [27, Cin, Cout], nbr [27, S]."""
+    """Submanifold conv: x [(B,) S, Cin], w [27, Cin, Cout],
+    nbr [(B,) 27, S]."""
     return sparse_conv_matmul(gather_taps(x, nbr), w)
 
 
@@ -305,13 +330,16 @@ def _subm_fwd(x, w, nbr):
 
 def _subm_bwd(res, gy):
     x, w, nbr = res
-    gyg = gather_taps(gy, nbr)                          # [27, S, Cout]
+    gyg = gather_taps(gy, nbr)                          # [(B,) 27, S, Cout]
     w_t = jnp.flip(w, axis=0).transpose(0, 2, 1)       # [27, Cout, Cin]
     dx = sparse_conv_matmul(gyg, w_t)
     # dW needs the tap-flipped gathered cotangents (tap k of the flipped
     # tensor is gy[nbr[26-k]], the site one off_k step away); flipping the
     # small [27, Cin, Cout] RESULT instead of the big gather avoids a copy.
-    dw = jnp.flip(jnp.einsum("sc,ksd->kcd", x, gyg), axis=0)
+    if x.ndim == 2:
+        dw = jnp.flip(jnp.einsum("sc,ksd->kcd", x, gyg), axis=0)
+    else:
+        dw = jnp.flip(jnp.einsum("bsc,bksd->kcd", x, gyg), axis=0)
     return dx, dw, None
 
 
@@ -330,10 +358,13 @@ def _down_fwd(x, w, down_tbl, up_tbl):
 
 def _down_bwd(res, gy):
     x, w, down_tbl, up_tbl = res
-    gup = gather_taps(gy, up_tbl)                       # [27, S_in, Cout]
+    gup = gather_taps(gy, up_tbl)                       # [(B,) 27, S_in, Cout]
     w_t = w.transpose(0, 2, 1)                          # [27, Cout, Cin]
     dx = sparse_conv_matmul(gup, w_t)
-    dw = jnp.einsum("sc,ksd->kcd", x, gup)
+    if x.ndim == 2:
+        dw = jnp.einsum("sc,ksd->kcd", x, gup)
+    else:
+        dw = jnp.einsum("bsc,bksd->kcd", x, gup)
     return dx, dw, None, None
 
 

@@ -25,6 +25,11 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-process / long-running integration tests")
+
+
 @pytest.fixture
 def rng():
     return np.random.RandomState(20240817)

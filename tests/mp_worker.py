@@ -24,7 +24,7 @@ import numpy as np  # noqa: E402
 import optax  # noqa: E402
 
 
-def main(out_path, n_steps=3):
+def main(out_path, n_steps=6):
     from neuralbody_tpu.models import latent_xyzc
     from neuralbody_tpu.models.latent_xyzc import ModelStatic
     from neuralbody_tpu.models.sparse_conv_net import EncoderStatic
@@ -54,17 +54,19 @@ def main(out_path, n_steps=3):
     step = make_sharded_train_step(mesh, settings, tx, batch)
 
     sbatch = shard_batch(mesh, batch)
+    losses = []
     for i in range(n_steps):
         params, bn_stats, opt_state, stats = step(
             params, bn_stats, opt_state, sbatch, jax.random.PRNGKey(i))
+        losses.append(float(stats["loss"]))
 
     if jax.process_index() == 0:
         flat, _ = jax.tree.flatten(params)
         np.savez(out_path,
                  n_steps=n_steps,
-                 loss=float(stats["loss"]),
+                 loss=np.asarray(losses, np.float64),
                  **{f"p{i}": np.asarray(x) for i, x in enumerate(flat)})
-        print(f"worker done: loss={float(stats['loss']):.6f}", flush=True)
+        print(f"worker done: loss={losses[-1]:.6f}", flush=True)
 
 
 if __name__ == "__main__":

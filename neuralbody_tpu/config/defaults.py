@@ -86,8 +86,17 @@ def default_cfg() -> CfgNode:
     cfg.train = CfgNode()
     cfg.train.batch_size = 1
     cfg.train.epoch = 10000
-    cfg.train.num_workers = 8
+    # spawn-process loader workers (ref num_workers=16,
+    # make_dataset.py:66-67); 0 = in-process prefetch thread. Production
+    # training should set this to ~the host core count; tests keep 0 to
+    # avoid per-test process spawns.
+    cfg.train.num_workers = 0
     cfg.train.shuffle = True
+    # "replicated" (default): every host loads the same global batch, rays
+    # sharded over all chips. "host": each host loads its own frame shard,
+    # global batch = n_devices x batch_size (the reference DDP recipe,
+    # ref samplers.py:75-132).
+    cfg.train.data_sharding = "replicated"
     cfg.train.optim = "adam"
     cfg.train.lr = 1e-4
     cfg.train.weight_decay = 0.0

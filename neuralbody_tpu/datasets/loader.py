@@ -1,15 +1,26 @@
-"""Batch assembly: static-shape collation and a prefetching loader.
+"""Batch assembly: static-shape collation and a parallel prefetching loader.
 
 The device only ever sees fixed shapes: train batches carry exactly N_rand
-rays; eval batches pad the variable hit-ray count up to a multiple of
-chunk_rays with ray_mask=0 (the reference's mask_at_box maps directly,
-SURVEY.md §7.1). Host-only fields (image-space hit mask, indices) travel in
-a separate meta dict that never reaches jit.
+rays; eval batches pad the variable hit-ray count up to a POWER-OF-TWO
+multiple of chunk_rays with ray_mask=0 (the reference's mask_at_box maps
+directly, SURVEY.md §7.1; power-of-two bucketing bounds the number of
+distinct compiled eval executables at ~log2). Host-only fields (image-space
+hit mask, indices) travel in a separate meta dict that never reaches jit.
+
+Parallelism: train batches are produced by persistent spawn-based worker
+processes (the reference uses DataLoader(num_workers=16) + per-worker
+reseeding, ref lib/datasets/make_dataset.py:66-67,82-90). Every batch is a
+pure function of (dataset, epoch, batch index) — the global numpy RNG is
+reseeded per batch — so the stream is identical for any worker count and
+across hosts. The heavy frame-geometry tables (~15 MB/frame) are shipped
+once per (worker, frame) and cached parent-side, not re-pickled per batch.
 """
 from __future__ import annotations
 
+import os
 import queue
 import threading
+from typing import NamedTuple
 
 import numpy as np
 
@@ -40,7 +51,13 @@ def collate(samples, chunk_rays):
     has_rays = "rgb" in samples[0]
     if has_rays:
         n_rays = max(s["rgb"].shape[0] for s in samples)
-        n_rays = -(-n_rays // chunk_rays) * chunk_rays
+        # pad to a POWER-OF-TWO multiple of chunk_rays: eval images have
+        # frame-varying hit-ray counts, and each distinct padded size is a
+        # separate XLA compile of the sharded eval step (parallel/train.py);
+        # bucketing bounds compiles at ~log2 per sequence
+        units = max(1, -(-n_rays // chunk_rays))
+        units = 1 << (units - 1).bit_length()
+        n_rays = units * chunk_rays
 
     device, meta = {}, {}
     for key in samples[0]:
@@ -65,48 +82,248 @@ def collate(samples, chunk_rays):
     return device, meta
 
 
-class DataLoader:
-    """Iterates (device_batch, meta) with background prefetch.
+class HatSpec(NamedTuple):
+    """Picklable hat-planner parameters (crosses the worker boundary)."""
+    out_sh: tuple
+    site_caps: tuple
+    voxel_size: tuple
+    n_samples: int
+    group_size: int
+    tile: tuple
+    rows_caps: tuple   # static row caps (None while deriving)
+    n_groups: int      # static group count (None while deriving)
+    perturb: bool
 
-    `transform(device_batch) -> device_batch` runs in the prefetch thread
-    (overlapped with device compute) — used for host-side hat-interpolation
-    planning (ops/hat_interp.py).
+
+def _batch_seed(epoch, batch_idx, seed0=0):
+    """Every batch is a pure function of (epoch, batch index): the stream
+    is identical for any worker count and across hosts (the reference gets
+    per-worker streams instead, via worker_init_fn reseeding)."""
+    return (epoch * 1000003 + batch_idx * 7919 + seed0) % (2 ** 31 - 1)
+
+
+def apply_hat_spec(device, spec: HatSpec, seed):
+    from ..ops.hat_interp import prepare_hat_batch
+    rng = np.random.RandomState(seed) if spec.perturb else None
+    device, hs = prepare_hat_batch(
+        device, spec.out_sh, spec.site_caps, spec.voxel_size,
+        spec.n_samples, group_size=spec.group_size, tile=spec.tile,
+        rows_caps=spec.rows_caps, n_groups=spec.n_groups, rng=rng)
+    return device, hs
+
+
+def produce_batch(dataset, indices, bi, batch_size, chunk_rays, spec,
+                  epoch, seed0):
+    """Build batch `bi` deterministically (reseeds the global numpy RNG)."""
+    np.random.seed(_batch_seed(epoch, bi, seed0))
+    batch_idx = indices[bi * batch_size:(bi + 1) * batch_size]
+    samples = [dataset[j] for j in batch_idx]
+    device, meta = collate(samples, chunk_rays)
+    if spec is not None and spec.rows_caps is not None:
+        device, _ = apply_hat_spec(device, spec,
+                                   _batch_seed(epoch, bi, seed0 + 1))
+    return device, meta
+
+
+def _geom_keys(meta):
+    keys = meta.get("geom_key")
+    if keys is None:
+        return None
+    if not isinstance(keys, list):
+        keys = [keys]
+    return [int(k) for k in keys]
+
+
+def _worker_main(dataset, wid, num_workers, task_q, result_q):
+    """Loader worker loop: produce every (first_bi + wid + k*W)-th batch.
+
+    Geometry tables are shipped at most once per (worker, frame); later
+    batches reference them by geom_key (parent-side cache)."""
+    os.environ["JAX_PLATFORMS"] = "cpu"  # workers must never touch the TPU
+    shipped = set()
+    while True:
+        task = task_q.get()
+        if task is None:
+            return
+        (epoch, indices, batch_size, chunk_rays, spec, seed0,
+         first_bi, n_batches) = task
+        for bi in range(first_bi + wid, n_batches, num_workers):
+            device, meta = produce_batch(
+                dataset, indices, bi, batch_size, chunk_rays, spec,
+                epoch, seed0)
+            payload = None
+            keys = _geom_keys(meta)
+            if keys is not None:
+                geom = device.pop("geom")
+                payload = {
+                    k: {n: v[i] for n, v in geom.items()}
+                    for i, k in enumerate(keys) if k not in shipped
+                }
+                shipped.update(keys)
+                meta["_geom_keys"] = keys
+            result_q.put((epoch, bi, device, meta, payload))
+        result_q.put((epoch, None, None, None, None))
+
+
+class WorkerPool:
+    """Persistent spawn-based loader workers (live across epochs).
+
+    Spawn (not fork): the parent owns a live TPU client whose state must
+    not be duplicated into children. JAX_PLATFORMS=cpu is pinned in the
+    child environment before start so a worker can never claim the chip.
+    """
+
+    def __init__(self, dataset, num_workers):
+        import multiprocessing as mp
+        ctx = mp.get_context("spawn")
+        self.num_workers = num_workers
+        self.geom_cache = {}
+        self._tasks = [ctx.Queue() for _ in range(num_workers)]
+        self._results = ctx.Queue(maxsize=2 * num_workers + 2)
+        prev = os.environ.get("JAX_PLATFORMS")
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        try:
+            self._procs = [
+                ctx.Process(target=_worker_main,
+                            args=(dataset, w, num_workers,
+                                  self._tasks[w], self._results),
+                            daemon=True)
+                for w in range(num_workers)
+            ]
+            for p in self._procs:
+                p.start()
+        finally:
+            if prev is None:
+                os.environ.pop("JAX_PLATFORMS", None)
+            else:
+                os.environ["JAX_PLATFORMS"] = prev
+
+    def _attach_geom(self, device, meta, payload):
+        if payload:
+            self.geom_cache.update(payload)
+        keys = meta.pop("_geom_keys", None)
+        if keys is not None:
+            geoms = [self.geom_cache[k] for k in keys]
+            device["geom"] = {
+                n: np.stack([g[n] for g in geoms]) for n in geoms[0]
+            }
+        return device, meta
+
+    def run_epoch(self, epoch, indices, batch_size, chunk_rays, spec,
+                  seed0, first_bi, n_batches):
+        task = (epoch, list(indices), batch_size, chunk_rays, spec, seed0,
+                first_bi, n_batches)
+        for q in self._tasks:
+            q.put(task)
+        buf, done, next_bi = {}, 0, first_bi
+        while done < self.num_workers or buf:
+            if next_bi in buf:
+                device, meta, payload = buf.pop(next_bi)
+                next_bi += 1
+                yield self._attach_geom(device, meta, payload)
+                continue
+            _, bi, device, meta, payload = self._results.get()
+            if bi is None:
+                done += 1
+            else:
+                buf[bi] = (device, meta, payload)
+        # drain any leftovers (shouldn't happen; defensive)
+        while next_bi in buf:
+            device, meta, payload = buf.pop(next_bi)
+            next_bi += 1
+            yield self._attach_geom(device, meta, payload)
+
+    def shutdown(self):
+        for q in self._tasks:
+            q.put(None)
+        for p in self._procs:
+            p.join(timeout=10)
+
+
+class DataLoader:
+    """Iterates (device_batch, meta); parallel workers or thread prefetch.
+
+    hat_cfg (dict of HatSpec fields minus the static caps) enables the
+    host-side hat-interpolation planner; hat_state persists the derived
+    static sizes (rows_caps, n_groups) across batches/epochs so the device
+    compiles once.
     """
 
     def __init__(self, dataset, indices, chunk_rays, batch_size=1,
-                 prefetch=2, transform=None):
+                 prefetch=2, hat_cfg=None, hat_state=None, epoch=0,
+                 seed0=0, pool=None):
         self.dataset = dataset
         self.indices = list(indices)
         self.chunk_rays = chunk_rays
         self.batch_size = batch_size
         self.prefetch = prefetch
-        self.transform = transform
+        self.hat_cfg = hat_cfg
+        self.hat_state = hat_state if hat_state is not None else {}
+        self.epoch = epoch
+        self.seed0 = seed0
+        self.pool = pool
 
     def __len__(self):
         return len(self.indices) // self.batch_size
 
-    def _produce(self, q):
-        try:
-            for i in range(len(self)):
-                batch_idx = self.indices[i * self.batch_size:
-                                         (i + 1) * self.batch_size]
-                samples = [self.dataset[j] for j in batch_idx]
-                device, meta = collate(samples, self.chunk_rays)
-                if self.transform is not None:
-                    device = self.transform(device)
-                q.put((device, meta))
-        finally:
-            q.put(None)
+    def _spec(self):
+        if self.hat_cfg is None:
+            return None
+        st = self.hat_state
+        return HatSpec(rows_caps=st.get("rows_caps"),
+                       n_groups=st.get("n_groups"), **self.hat_cfg)
 
-    def __iter__(self):
+    def _derive_hat_static(self):
+        """Size the hat planner's static shapes from batch 0 (+headroom:
+        later batches — other frames/views — must fit without recompile),
+        then emit batch 0 replanned at the final sizes."""
+        np.random.seed(_batch_seed(self.epoch, 0, self.seed0))
+        batch_idx = self.indices[:self.batch_size]
+        samples = [self.dataset[j] for j in batch_idx]
+        raw, meta = collate(samples, self.chunk_rays)
+        _, hs = apply_hat_spec(raw, self._spec(),
+                               _batch_seed(self.epoch, 0, self.seed0 + 1))
+        self.hat_state["rows_caps"] = tuple(
+            -(-int(c * 1.5) // 32) * 32 for c in hs["rows_caps"])
+        self.hat_state["n_groups"] = -(-int(hs["n_groups"] * 1.3) // 8) * 8
+        device, _ = apply_hat_spec(
+            raw, self._spec(), _batch_seed(self.epoch, 0, self.seed0 + 1))
+        return device, meta
+
+    def _thread_iter(self, first_bi, spec):
+        def produce(q):
+            try:
+                for bi in range(first_bi, len(self)):
+                    q.put(produce_batch(
+                        self.dataset, self.indices, bi, self.batch_size,
+                        self.chunk_rays, spec, self.epoch, self.seed0))
+            finally:
+                q.put(None)
+
         q = queue.Queue(maxsize=self.prefetch)
-        t = threading.Thread(target=self._produce, args=(q,), daemon=True)
+        t = threading.Thread(target=produce, args=(q,), daemon=True)
         t.start()
         while True:
             item = q.get()
             if item is None:
                 return
             yield item
+
+    def __iter__(self):
+        first_bi = 0
+        if self.hat_cfg is not None and "rows_caps" not in self.hat_state:
+            device, meta = self._derive_hat_static()
+            yield device, meta
+            first_bi = 1
+        if first_bi >= len(self):
+            return
+        spec = self._spec()
+        if self.pool is not None:
+            yield from self.pool.run_epoch(
+                self.epoch, self.indices, self.batch_size, self.chunk_rays,
+                spec, self.seed0, first_bi, len(self))
+        else:
+            yield from self._thread_iter(first_bi, spec)
 
 
 def make_dataset(cfg, split):
@@ -116,67 +333,39 @@ def make_dataset(cfg, split):
     return build("dataset", name, cfg, data_cfg, split)
 
 
-def make_hat_transform(cfg, dataset, epoch=0, host_id=0, hat_state=None):
-    """Batch transform running the hat-interpolation host planner.
-
-    hat_state is a mutable dict persisting the static sizes (rows_caps,
-    n_groups) across batches/epochs so the device compiles once.
-    """
-    from ..ops.hat_interp import prepare_hat_batch
-
-    geo = dataset.geo
-    state = hat_state if hat_state is not None else {}
-    rng = (np.random.RandomState(epoch * 100019 + host_id * 7919 + 1)
-           if cfg.perturb else None)
-
-    def transform(device):
-        device, hs = prepare_hat_batch(
-            device, geo.out_sh, geo.site_caps, tuple(cfg.voxel_size),
-            cfg.N_samples,
-            group_size=int(cfg.tpu.hat_group_size),
-            tile=tuple(cfg.tpu.hat_tile),
-            rows_caps=state.get("rows_caps"),
-            n_groups=state.get("n_groups"),
-            rng=rng)
-        if "rows_caps" not in state:
-            # headroom on the first batch's sizes: later batches (other
-            # frames/views) must fit without a recompile
-            state["rows_caps"] = tuple(
-                -(-int(c * 1.5) // 32) * 32 for c in hs["rows_caps"])
-            state["n_groups"] = -(-int(hs["n_groups"] * 1.3) // 8) * 8
-            device, _ = prepare_hat_batch(
-                {k: v for k, v in device.items()
-                 if not k.startswith("hat_") and k != "z_vals"},
-                geo.out_sh, geo.site_caps, tuple(cfg.voxel_size),
-                cfg.N_samples, group_size=int(cfg.tpu.hat_group_size),
-                tile=tuple(cfg.tpu.hat_tile),
-                rows_caps=state["rows_caps"], n_groups=state["n_groups"],
-                rng=rng)
-        return device
-
-    return transform
-
-
 def make_data_loader(cfg, split, dataset=None, epoch=0, num_hosts=1,
-                     host_id=0, hat_state=None):
+                     host_id=0, hat_state=None, pool=None,
+                     local_devices=1):
     """Factory mirroring the reference loader assembly
-    (ref: lib/datasets/make_dataset.py:70-96)."""
+    (ref: lib/datasets/make_dataset.py:70-96).
+
+    Multi-host: by default every host produces the identical batch sequence
+    (rays are sharded over the global mesh) — guaranteed by per-batch
+    RNG seeding, see _batch_seed. With cfg.train.data_sharding == "host",
+    each host loads its own frame shard instead (the reference's
+    DistributedSampler DDP weak scaling, ref lib/datasets/samplers.py:75-132):
+    the global batch is num_hosts x batch_size, sharded on the batch axis.
+    """
     if dataset is None:
         dataset = make_dataset(cfg, split)
 
-    transform = None
+    hat_cfg = None
+    host_mode = (num_hosts > 1
+                 and cfg.train.get("data_sharding", "") == "host")
     if split == "train":
-        if num_hosts > 1:
-            # multi-host: every host must produce the identical batch
-            # sequence (rays are sharded over the global mesh); pin the
-            # global numpy RNG that drives per-sample ray sampling
-            np.random.seed((epoch * 1000003 + 12345) % (2 ** 31 - 1))
+        # host mode: shard frames FIRST, then cap to ep_iter per host —
+        # the reference's DistributedSampler + IterationBasedBatchSampler
+        # order (each rank runs the full ep_iter on its own shard)
         idx = samplers.epoch_indices(
             len(dataset), epoch, shuffle=cfg.train.shuffle,
+            num_hosts=num_hosts if host_mode else 1,
+            host_id=host_id if host_mode else 0,
             ep_iter=cfg.ep_iter * cfg.train.batch_size
             if cfg.ep_iter > 0 else -1)
         chunk = cfg.N_rand
-        bs = cfg.train.batch_size
+        # host mode feeds each DEVICE its own frames (the reference's
+        # one-frame-per-GPU DDP recipe): local batch = devices x batch_size
+        bs = cfg.train.batch_size * (local_devices if host_mode else 1)
         if cfg.train.batch_sampler == "image_size":
             # multi-scale training (ref make_dataset.py:57 + ImageSize-
             # BatchSampler): per-batch bucketed (h, w) rides along as
@@ -193,8 +382,12 @@ def make_data_loader(cfg, split, dataset=None, epoch=0, num_hosts=1,
         # families (nerf, tpose) sample z on device
         if (cfg.tpu.interp_mode == "hat" and hasattr(dataset, "geo")
                 and cfg.network_module == "latent_xyzc"):
-            transform = make_hat_transform(cfg, dataset, epoch, host_id,
-                                           hat_state)
+            geo = dataset.geo
+            hat_cfg = dict(
+                out_sh=geo.out_sh, site_caps=tuple(geo.site_caps),
+                voxel_size=tuple(cfg.voxel_size), n_samples=cfg.N_samples,
+                group_size=int(cfg.tpu.hat_group_size),
+                tile=tuple(cfg.tpu.hat_tile), perturb=bool(cfg.perturb))
     else:
         if cfg.test.sampler == "FrameSampler":
             idx = samplers.frame_sampler_indices(
@@ -205,5 +398,8 @@ def make_data_loader(cfg, split, dataset=None, epoch=0, num_hosts=1,
         chunk = cfg.tpu.chunk_rays
         bs = cfg.test.batch_size
 
-    return DataLoader(dataset, idx, chunk, batch_size=bs,
-                      transform=transform)
+    # per-host data sharding must also decorrelate the batch RNG streams
+    seed0 = host_id * 900001 if host_mode else 0
+    return DataLoader(dataset, idx, chunk, batch_size=bs, hat_cfg=hat_cfg,
+                      hat_state=hat_state, epoch=epoch, seed0=seed0,
+                      pool=pool)

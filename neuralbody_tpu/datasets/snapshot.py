@@ -111,6 +111,7 @@ class MonocularDataset:
 
         return {
             "geom": payload["geom"],
+            "geom_key": np.int32(index),
             "rgb": rgb, "ray_o": ray_o, "ray_d": ray_d,
             "near": near, "far": far,
             "mask_at_box": mask_at_box,

@@ -83,6 +83,7 @@ class TposeDataset(MultiViewDataset):
              + (1 if self.human in ["CoreView_313", "CoreView_315"] else 0))
         warp = self._warp[i]
         sample["geom"] = self.tgeo.geom
+        sample["geom_key"] = np.int32(-1)  # one shared T-pose geometry
         sample["tbounds"] = warp["tbounds"]
         sample["pbounds"] = warp["pbounds"]
         sample["ptot_pts"] = warp["ptot_pts"].reshape(-1, 3)

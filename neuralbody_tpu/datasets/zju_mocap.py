@@ -174,6 +174,8 @@ class MultiViewDataset:
 
         return {
             "geom": payload["geom"],
+            # geom identity for the loader's ship-once worker protocol
+            "geom_key": np.int32(i),
             "rgb": rgb, "ray_o": ray_o, "ray_d": ray_d,
             "near": near, "far": far,
             "mask_at_box": mask_at_box,

@@ -108,15 +108,16 @@ def plan_hat_groups(dhw_pts, geom, out_sh, site_caps, group_size=128,
     order = np.argsort(tile_id, kind="stable").astype(np.int32)
     tids = tile_id[order]
     starts = np.flatnonzero(np.r_[True, tids[1:] != tids[:-1]])
-    stops = np.r_[starts[1:], len(tids)]
-    chunks = []
-    for a, b in zip(starts, stops):
-        idx = order[a:b]
-        pad = (-len(idx)) % P
-        if pad:
-            idx = np.concatenate([idx, np.repeat(idx[:1], pad)])
-        chunks.append(idx)
-    perm = (np.concatenate(chunks) if chunks
+    counts = np.diff(np.r_[starts, len(tids)])
+    # pad each tile's chunk to a multiple of P with repeats of its first
+    # point (vectorized; a per-tile Python loop costs ~ms at 65k points)
+    padded = -(-counts // P) * P
+    total = int(padded.sum())
+    pos = np.arange(total, dtype=np.int64)
+    tile_of = np.repeat(np.arange(len(counts)), padded)
+    rel = pos - np.repeat(np.cumsum(padded) - padded, padded)
+    src = np.where(rel < counts[tile_of], rel, 0)
+    perm = (order[starts[tile_of] + src].astype(np.int32) if total
             else np.zeros((0,), np.int32))
     used_groups = len(perm) // P
     if n_groups is None:
@@ -135,6 +136,11 @@ def plan_hat_groups(dhw_pts, geom, out_sh, site_caps, group_size=128,
     ngrp = n_groups
     sorted_dhw = dhw_pts[perm]                       # [ngrp*P, 3]
     grp_dhw = sorted_dhw.reshape(ngrp, P, 3)
+    # per-group full-res extents ONCE; the per-level scale is positive per
+    # axis, so min/max commute with it (a per-level [ngrp, P, 3] multiply +
+    # reduce costs ~6 ms/level at the reference working point)
+    g_min = grp_dhw.min(axis=1)                      # [ngrp, 3]
+    g_max = grp_dhw.max(axis=1)
 
     out = {"perm": perm, "fwd_perm": fwd_perm}
     used_caps = []
@@ -142,10 +148,9 @@ def plan_hat_groups(dhw_pts, geom, out_sh, site_caps, group_size=128,
         sl = _level_scale(out_sh, lvl)
         sh_l = tuple(s // (2 ** lvl) for s in out_sh)
         Dl, Hl, Wl = sh_l
-        pos = grp_dhw * sl                            # [ngrp, P, 3]
         # touched corner cells per group: [floor(min), floor(max)+1]
-        lo = np.floor(pos.min(axis=1)).astype(np.int64)       # [ngrp, 3]
-        hi = np.floor(pos.max(axis=1)).astype(np.int64) + 1
+        lo = np.floor(g_min * sl).astype(np.int64)            # [ngrp, 3]
+        hi = np.floor(g_max * sl).astype(np.int64) + 1
         d_lo = np.clip(lo[:, 0], 0, Dl - 1)
         d_hi = np.clip(hi[:, 0], 0, Dl - 1)
         h_lo = np.clip(lo[:, 1], 0, Hl - 1)
@@ -155,18 +160,24 @@ def plan_hat_groups(dhw_pts, geom, out_sh, site_caps, group_size=128,
         sites = geom[f"sites{lvl}"][:ns].astype(np.int64)     # sorted by code
         key = (sites[:, 0] * Hl + sites[:, 1]) * Wl + sites[:, 2]
 
-        group_rows = []
-        for g in range(ngrp):
-            ds = np.arange(d_lo[g], d_hi[g] + 1)
-            starts = np.searchsorted(key, (ds * Hl + h_lo[g]) * Wl)
-            stops = np.searchsorted(key, (ds * Hl + h_hi[g] + 1) * Wl)
-            segs = [np.arange(a, b, dtype=np.int32)
-                    for a, b in zip(starts, stops) if b > a]
-            group_rows.append(
-                np.concatenate(segs) if segs
-                else np.zeros((0,), np.int32))
+        # per-group (d-slice, h-range) segments, fully vectorized: one
+        # searchsorted over all [ngrp, nd] slice bounds, then a flat
+        # "multi-arange" scatter into the padded rows array (the previous
+        # per-group Python loop cost ~10 ms/batch/level — far over the
+        # ~3 ms/batch host budget at 8 steps per ~24 ms dispatch)
+        nd = int((d_hi - d_lo).max()) + 1 if ngrp else 1
+        ds = d_lo[:, None] + np.arange(nd, dtype=np.int64)[None, :]
+        valid = ds <= d_hi[:, None]
+        dsc = np.minimum(ds, d_hi[:, None])
+        seg_a = np.searchsorted(
+            key, ((dsc * Hl + h_lo[:, None]) * Wl).ravel()).reshape(ngrp, nd)
+        seg_b = np.searchsorted(
+            key, ((dsc * Hl + h_hi[:, None] + 1) * Wl).ravel()
+        ).reshape(ngrp, nd)
+        lens = np.where(valid, seg_b - seg_a, 0)
+        gl = lens.sum(axis=1)
 
-        need = max((len(r) for r in group_rows), default=0)
+        need = int(gl.max()) if ngrp else 0
         cap = (rows_caps[li] if rows_caps is not None
                else max(64, -(-need // 32) * 32))
         if need > cap:
@@ -176,8 +187,16 @@ def plan_hat_groups(dhw_pts, geom, out_sh, site_caps, group_size=128,
         used_caps.append(cap)
         sent = site_caps[lvl]
         rows = np.full((ngrp, cap), sent, np.int32)
-        for g, r in enumerate(group_rows):
-            rows[g, :len(r)] = r
+        flat_lens = lens.ravel()
+        total_r = int(flat_lens.sum())
+        if total_r:
+            ar = np.arange(total_r, dtype=np.int64)
+            in_seg = ar - np.repeat(np.cumsum(flat_lens) - flat_lens,
+                                    flat_lens)
+            rows_flat = np.repeat(seg_a.ravel(), flat_lens) + in_seg
+            g_of = np.repeat(np.arange(ngrp * nd) // nd, flat_lens)
+            pos_in_g = ar - np.repeat(np.cumsum(gl) - gl, gl)
+            rows[g_of, pos_in_g] = rows_flat.astype(np.int32)
         out[f"rows{lvl}"] = rows
     out["rows_caps"] = tuple(used_caps)
     out["n_groups"] = n_groups

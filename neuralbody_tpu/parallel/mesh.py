@@ -37,16 +37,34 @@ def ray_sharded(mesh: Mesh, stacked: bool = False) -> NamedSharding:
     return NamedSharding(mesh, spec)
 
 
-def batch_shardings(mesh: Mesh, batch: dict, stacked: bool = False) -> dict:
-    """Sharding pytree for a canonical batch: rays sharded, rest replicated.
+def batch_sharded(mesh: Mesh, stacked: bool = False) -> NamedSharding:
+    """[B, ...] (or stacked [G, B, ...]): shard the batch (frame) axis."""
+    spec = P(None, DATA_AXIS) if stacked else P(DATA_AXIS)
+    return NamedSharding(mesh, spec)
 
-    Ray-indexed arrays ([B, R, ...]) are sharded on R; frame geometry,
-    transforms, and per-view mask stacks are replicated (every chip encodes
-    the full feature volume, as every reference GPU does under DDP).
-    stacked=True handles scan batches with a leading G axis.
+
+def batch_shardings(mesh: Mesh, batch: dict, stacked: bool = False,
+                    mode: str = "rays") -> dict:
+    """Sharding pytree for a canonical batch.
+
+    mode="rays" (default): rays sharded, everything else replicated —
+    every chip encodes the full feature volume, as every reference GPU
+    does under DDP; one global batch is shared by all hosts.
+
+    mode="batch": EVERY per-frame array (geom included) is sharded on the
+    leading batch axis — the reference's DDP weak-scaling recipe
+    (ref samplers.py:75-132): global batch = n_devices x per-device frames,
+    each chip encodes only its own frames. Requires B % n_devices == 0.
     """
-    ray_keys = {"ray_o", "ray_d", "near", "far", "rgb", "ray_mask", "pts"}
     rep = replicated(mesh)
+    if mode == "batch":
+        shard = batch_sharded(mesh, stacked)
+        return {
+            k: (jax.tree.map(lambda _: shard, v) if isinstance(v, dict)
+                else shard)
+            for k, v in batch.items()
+        }
+    ray_keys = {"ray_o", "ray_d", "near", "far", "rgb", "ray_mask", "pts"}
     shard = ray_sharded(mesh, stacked)
     return {
         k: (jax.tree.map(lambda _: rep, v) if isinstance(v, dict)
@@ -67,11 +85,26 @@ def _put_global(x, s):
     return jax.device_put(x, s)
 
 
-def shard_batch(mesh: Mesh, batch: dict, stacked: bool = False) -> dict:
-    """Device-put a host batch with the canonical shardings."""
-    shardings = batch_shardings(mesh, batch, stacked)
+def _put_local_shard(x, s):
+    """Assemble a global array from per-process LOCAL shards (mode="batch"
+    under multi-host: each host loads only its own frames)."""
+    x = np.asarray(x)
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(s, x)
+    return jax.device_put(x, s)
+
+
+def shard_batch(mesh: Mesh, batch: dict, stacked: bool = False,
+                mode: str = "rays") -> dict:
+    """Device-put a host batch with the canonical shardings.
+
+    mode="batch": `batch` holds each process's LOCAL frames; the returned
+    arrays are global with B = num_processes x local B.
+    """
+    shardings = batch_shardings(mesh, batch, stacked, mode)
+    put = _put_local_shard if mode == "batch" else _put_global
     return jax.tree.map(
-        _put_global, batch, shardings,
+        put, batch, shardings,
         is_leaf=lambda x: not isinstance(x, dict),
     )
 

@@ -62,10 +62,14 @@ class ShardedEval:
 
 def make_sharded_train_step(mesh: Mesh, settings: RenderSettings,
                             tx: optax.GradientTransformation,
-                            example_batch: dict, loss=None):
-    """Returns train_step(params, bn_stats, opt_state, batch, key)."""
+                            example_batch: dict, loss=None,
+                            mode: str = "rays"):
+    """Returns train_step(params, bn_stats, opt_state, batch, key).
+
+    mode="rays": one global batch, rays sharded. mode="batch": frames
+    sharded over devices (DDP weak scaling; see parallel/mesh.py)."""
     rep = replicated(mesh)
-    b_shardings = batch_shardings(mesh, example_batch)
+    b_shardings = batch_shardings(mesh, example_batch, mode=mode)
 
     def step(params, bn_stats, opt_state, batch, key):
         return _one_train_step(params, bn_stats, opt_state, batch, key,
@@ -81,7 +85,8 @@ def make_sharded_train_step(mesh: Mesh, settings: RenderSettings,
 
 def make_sharded_scan_step(mesh: Mesh, settings: RenderSettings,
                            tx: optax.GradientTransformation,
-                           example_batch: dict, loss=None):
+                           example_batch: dict, loss=None,
+                           mode: str = "rays"):
     """G train steps per dispatch (lax.scan) with ray-axis sharding.
 
     Host dispatch of a ~250-leaf step costs more than the step's compute at
@@ -90,7 +95,8 @@ def make_sharded_scan_step(mesh: Mesh, settings: RenderSettings,
     are the per-step ones with that extra replicated dim.
     """
     rep = replicated(mesh)
-    scan_shardings = batch_shardings(mesh, example_batch, stacked=True)
+    scan_shardings = batch_shardings(mesh, example_batch, stacked=True,
+                                     mode=mode)
 
     def step(params, bn_stats, opt_state, batches, keys):
         def body(carry, xs):

@@ -51,8 +51,13 @@ class Trainer:
             from ..parallel.mesh import replicate_state
             (self.params, self.bn_stats, self.opt_state) = replicate_state(
                 self.mesh, (self.params, self.bn_stats, self.opt_state))
-        self._step = None
+        # "replicated" (default): one global batch, rays sharded;
+        # "host": per-device frame shards (DDP weak scaling, VERDICT r2 #6)
+        self.data_mode = ("batch" if cfg.train.get("data_sharding", "")
+                          == "host" and self.num_hosts > 1 else "rays")
+        self._steps = {}   # compiled scan steps keyed by group size
         self.hat_state = {}  # persistent hat-planner statics (one compile)
+        self._pool = None  # persistent loader worker pool
 
         self.recorder = Recorder(cfg, self.is_primary)
         self.evaluator = build("evaluator", cfg.evaluator_module, cfg)
@@ -74,15 +79,25 @@ class Trainer:
             is_primary=self.is_primary)
 
     # -- train ------------------------------------------------------------
+    def _make_loader(self, epoch):
+        cfg = self.cfg
+        # Multi-host default: every host loads the SAME epoch-deterministic
+        # batch sequence (rays sharded over the global mesh; each host
+        # materializes only its addressable shards — parallel/mesh.py).
+        # data_sharding="host": each host loads its own frame shard.
+        nw = int(cfg.train.get("num_workers", 0))
+        if nw > 0 and self._pool is None:
+            from ..datasets.loader import WorkerPool
+            self._pool = WorkerPool(self.train_dataset, nw)
+        return make_data_loader(
+            cfg, "train", dataset=self.train_dataset, epoch=epoch,
+            num_hosts=self.num_hosts, host_id=self.host_id,
+            hat_state=self.hat_state, pool=self._pool,
+            local_devices=jax.local_device_count())
+
     def train_epoch(self, epoch):
         cfg = self.cfg
-        # Multi-host: every host loads the SAME epoch-deterministic batch
-        # sequence (rays are sharded over the global mesh; each host
-        # materializes only its addressable shards — parallel/mesh.py).
-        # Host-identical PRNG keys keep the SPMD programs aligned.
-        loader = make_data_loader(
-            cfg, "train", dataset=self.train_dataset, epoch=epoch,
-            num_hosts=self.num_hosts, hat_state=self.hat_state)
+        loader = self._make_loader(epoch)
         n_iter = len(loader)
         timer = Timer()
         key = jax.random.PRNGKey(epoch * 100003)
@@ -90,28 +105,32 @@ class Trainer:
         G = max(1, int(cfg.tpu.get("steps_per_dispatch", 4)))
         pending = []
         it = 0
+        flushed_full = False
 
         def flush():
-            nonlocal it
+            nonlocal it, flushed_full
             if not pending:
                 return
             g = len(pending)
             stacked = jax.tree.map(
                 lambda *xs: np.stack(xs), *pending,
                 is_leaf=lambda x: not isinstance(x, dict))
-            batches = shard_batch(self.mesh, stacked, stacked=True)
+            batches = shard_batch(self.mesh, stacked, stacked=True,
+                                  mode=self.data_mode)
             nonlocal key
             key, *subs = jax.random.split(key, g + 1)
             keys = jnp.stack(subs)
-            if self._step is None or self._step[0] != g:
+            if g not in self._steps:
                 one = jax.tree.map(lambda x: x[0], stacked,
                                    is_leaf=lambda x: not isinstance(x, dict))
-                self._step = (g, make_sharded_scan_step(
+                self._steps[g] = make_sharded_scan_step(
                     self.mesh, self.settings, self.tx, one,
-                    loss=self.loss_fn))
+                    loss=self.loss_fn, mode=self.data_mode)
             (self.params, self.bn_stats, self.opt_state,
-             stats) = self._step[1](self.params, self.bn_stats,
-                                    self.opt_state, batches, keys)
+             stats) = self._steps[g](self.params, self.bn_stats,
+                                     self.opt_state, batches, keys)
+            if g == G:
+                flushed_full = True
             pending.clear()
             self.recorder.step += g
             it += g
@@ -131,7 +150,14 @@ class Trainer:
             pending.append(device_batch)
             if len(pending) == G:
                 flush()
-        flush()
+        # drop the tail group rather than compile a second scan step for
+        # it (the reference's IterationBasedBatchSampler likewise truncates
+        # mid-epoch, ref samplers.py:50-72) — unless the epoch is shorter
+        # than one group, in which case the tail IS the epoch
+        if not flushed_full:
+            flush()
+        else:
+            pending.clear()
 
     def fit(self):
         """Epoch loop with preemption-safe checkpointing: SIGTERM/SIGINT

@@ -1,8 +1,18 @@
 """Benchmark: training-step throughput (rays/s/chip, fwd+bwd) at the
 reference recipe's working point — 1024 rays x 64 samples, 6890-vertex body,
-5mm voxels, 512x512-scale scene (BASELINE.json metric).
+5mm voxels, 512x512 views (BASELINE.json metric).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Two measurements:
+  * fresh (the headline `value`): the PRODUCTION pipeline — loader worker
+    processes JPEG-decode synthetic 512^2 views, sample train rays, and run
+    the hat-interpolation host planner per batch; the device scans G=8
+    distinct batches per dispatch. Includes all host work and host->device
+    transfer.
+  * broadcast: one pre-planned batch broadcast G times — pure device
+    compute ceiling (what BENCH_r01/r02 measured).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"broadcast_rays_per_s", ...}.
 
 vs_baseline: the reference publishes no speed numbers (BASELINE.md). We use
 the reference's own training recipe as the yardstick: 400 epochs x 500 iters
@@ -17,39 +27,44 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_RAYS_PER_S = 2400.0
+N_RAYS, N_SAMPLES, G = 1024, 64, 8
 
 
-def main():
+def _setup(out_sh, site_caps, num_train_frame, dtype="bfloat16"):
     import optax
 
     from neuralbody_tpu.models import latent_xyzc
     from neuralbody_tpu.models.latent_xyzc import ModelStatic
     from neuralbody_tpu.models.sparse_conv_net import EncoderStatic
     from neuralbody_tpu.renderer.renderer import RenderSettings
+
+    # production encoder dtype: bf16 activations, f32 accumulation/BN
+    # (cfg.tpu.compute_dtype; the encoder's gathers are bytes-bound)
+    model_static = ModelStatic(
+        encoder=EncoderStatic(out_sh=out_sh, site_caps=tuple(site_caps),
+                              compute_dtype=dtype))
+    settings = RenderSettings(
+        model=model_static, voxel_size=(0.005,) * 3,
+        n_samples=N_SAMPLES, chunk_rays=N_RAYS)
+    params, bn_stats = latent_xyzc.init(
+        jax.random.PRNGKey(0), num_train_frame=num_train_frame)
+    tx = optax.chain(optax.clip(40.0), optax.adam(5e-4))
+    return settings, params, bn_stats, tx
+
+
+def measure_broadcast():
+    """Device-compute ceiling: one batch scanned G times per dispatch."""
     from neuralbody_tpu.train.step import train_step_scan
     from neuralbody_tpu.utils.synthetic import make_batch
 
-    n_rays, n_samples = 1024, 64
-    # hat=True: host-planned grouped hat-matmul interpolation (the
-    # production training path; see ops/hat_interp.py)
     batch_np, static = make_batch(
-        n_rays=n_rays, n_verts=6890, voxel_size=0.005, seed=0,
-        hat=True, n_samples=n_samples)
+        n_rays=N_RAYS, n_verts=6890, voxel_size=0.005, seed=0,
+        hat=True, n_samples=N_SAMPLES)
     batch = jax.tree.map(jnp.asarray, batch_np)
-    model_static = ModelStatic(
-        encoder=EncoderStatic(out_sh=static["out_sh"],
-                              site_caps=static["site_caps"]))
-    settings = RenderSettings(
-        model=model_static, voxel_size=(0.005,) * 3,
-        n_samples=n_samples, chunk_rays=n_rays)
-
-    params, bn_stats = latent_xyzc.init(
-        jax.random.PRNGKey(0), num_train_frame=60)
-    tx = optax.chain(optax.clip(40.0), optax.adam(5e-4))
+    settings, params, bn_stats, tx = _setup(
+        static["out_sh"], static["site_caps"], num_train_frame=60)
     opt_state = tx.init(params)
 
-    # production loop shape: G steps per dispatch via lax.scan
-    G = 8
     batches = jax.tree.map(
         lambda x: jnp.broadcast_to(x[None], (G,) + x.shape), batch)
     keys = jax.random.split(jax.random.PRNGKey(1), G)
@@ -69,13 +84,83 @@ def main():
     # fetch forces the whole chain without per-iter host round-trips
     _ = float(stats["loss"][-1])
     dt = time.perf_counter() - t0
+    return N_RAYS * n_iters * G / dt
 
-    rays_per_s = n_rays * n_iters * G / dt
+
+def measure_fresh(num_workers=2, n_disp=12):
+    """Production pipeline: worker-pool loader feeding G distinct
+    freshly-planned batches per dispatch."""
+    from neuralbody_tpu.datasets.loader import DataLoader, WorkerPool
+    from neuralbody_tpu.parallel.geom import GeomBank
+    from neuralbody_tpu.train.step import train_step_scan_banked
+    from neuralbody_tpu.utils.synthetic import SyntheticDataset
+
+    ds = SyntheticDataset(n_frames=4, n_cams=4, hw=(512, 512),
+                          n_verts=6890, voxel_size=0.005, n_rand=N_RAYS)
+    settings, params, bn_stats, tx = _setup(
+        ds.out_sh, ds.site_caps, num_train_frame=ds.n_frames)
+    opt_state = tx.init(params)
+
+    hat_cfg = dict(out_sh=ds.out_sh, site_caps=ds.site_caps,
+                   voxel_size=(0.005,) * 3, n_samples=N_SAMPLES,
+                   group_size=128, tile=(4, 8), perturb=True)
+    hat_state = {}
+    pool = WorkerPool(ds, num_workers)
+    # frame geometry lives in an HBM-resident bank, selected by index
+    # inside the jitted step — never re-shipped per batch (parallel/geom.py)
+    bank = GeomBank(pool.geom_cache, capacity=ds.n_frames)
+
+    def run_epoch(epoch, n_batches, params, bn_stats, opt_state):
+        idx = [i % len(ds) for i in range(n_batches)]
+        loader = DataLoader(ds, idx, chunk_rays=N_RAYS, batch_size=1,
+                            hat_cfg=hat_cfg, hat_state=hat_state,
+                            epoch=epoch, pool=pool, attach_geom=False)
+        key = jax.random.PRNGKey(epoch)
+        pending, pending_keys = [], []
+        stats = None
+        for device, meta in loader:
+            pending.append(device)
+            pending_keys.append(meta["geom_keys"])
+            if len(pending) < G:
+                continue
+            stacked = jax.tree.map(
+                lambda *xs: jnp.asarray(np.stack(xs)), *pending,
+                is_leaf=lambda x: not isinstance(x, dict))
+            bank_arrays, stacked["geom_rows"] = bank.rows(pending_keys)
+            pending.clear()
+            pending_keys.clear()
+            key, *subs = jax.random.split(key, G + 1)
+            params, bn_stats, opt_state, stats = train_step_scan_banked(
+                params, bn_stats, opt_state, stacked, jnp.stack(subs),
+                bank_arrays, settings, tx)
+        return params, bn_stats, opt_state, stats
+
+    try:
+        # warm epoch: compile the scan step, ship geoms, warm worker caches
+        params, bn_stats, opt_state, stats = run_epoch(
+            0, 2 * G, params, bn_stats, opt_state)
+        _ = float(stats["loss"][-1])
+
+        t0 = time.perf_counter()
+        params, bn_stats, opt_state, stats = run_epoch(
+            1, n_disp * G, params, bn_stats, opt_state)
+        _ = float(stats["loss"][-1])
+        dt = time.perf_counter() - t0
+    finally:
+        pool.shutdown()
+    return N_RAYS * n_disp * G / dt
+
+
+def main():
+    fresh = measure_fresh()
+    broadcast = measure_broadcast()
     print(json.dumps({
         "metric": "train_rays_per_s_per_chip",
-        "value": round(rays_per_s, 1),
-        "unit": "rays/s (fwd+bwd, 1024x64 @ 5mm voxels)",
-        "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 3),
+        "value": round(fresh, 1),
+        "unit": "rays/s (fwd+bwd, 1024x64 @ 5mm, fresh host-planned batches)",
+        "vs_baseline": round(fresh / BASELINE_RAYS_PER_S, 3),
+        "broadcast_rays_per_s": round(broadcast, 1),
+        "fresh_over_broadcast": round(fresh / broadcast, 3),
     }))
 
 

@@ -15,7 +15,8 @@ import os
 
 import numpy as np
 
-from ..ops.sparse_conv import build_frame_geometry, compute_site_caps
+from ..ops.sparse_conv import (build_frame_geometry, compute_fix_caps,
+                               compute_site_caps)
 
 try:
     import cv2
@@ -95,6 +96,10 @@ class GeometryCache:
             metas.append(coord)
         self.out_sh = tuple(int(s) for s in max_sh)
         self.site_caps = tuple(compute_site_caps(metas, self.out_sh))
+        # xtri aug-row capacities must be sequence-static too (frame geoms
+        # are stacked / banked together)
+        self.fix_caps = tuple(compute_fix_caps(
+            metas, self.out_sh, self.site_caps))
         return self.out_sh, self.site_caps
 
     def _disk_path(self, key):
@@ -102,7 +107,7 @@ class GeometryCache:
             return None
         tag = "_".join(map(str, self.out_sh)) + "-" + \
             "_".join(map(str, self.site_caps)) + \
-            f"-{self.voxel_size[0]:.4f}-t27"   # t27: tap-major tables
+            f"-{self.voxel_size[0]:.4f}-t27x"  # t27x: tap-major + xtri tables
         return os.path.join(self.cache_dir, f"geom_{key}_{tag}.npz")
 
     def frame(self, key, wxyz, Rh, Th):
@@ -119,7 +124,8 @@ class GeometryCache:
                 geom = {k: z[k] for k in z.files}
         else:
             geom = build_frame_geometry(
-                coord, self.out_sh, list(self.site_caps))
+                coord, self.out_sh, list(self.site_caps),
+                fix_caps=getattr(self, "fix_caps", None))
             if path is not None:
                 os.makedirs(self.cache_dir, exist_ok=True)
                 tmp = path + ".tmp.npz"   # .npz suffix: savez keeps the name

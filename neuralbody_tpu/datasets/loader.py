@@ -42,6 +42,14 @@ def pad_to(x, n, axis=0):
     return np.pad(x, widths)
 
 
+def _stack(vals):
+    """np.stack with a copy-free fast path for batch_size 1 (the reference
+    recipe): a [None] view instead of a fresh allocation."""
+    if len(vals) == 1:
+        return np.asarray(vals[0])[None]
+    return np.stack(vals)
+
+
 def collate(samples, chunk_rays):
     """Stack samples into a (device_batch, meta) pair with padded rays.
 
@@ -64,17 +72,17 @@ def collate(samples, chunk_rays):
         vals = [s[key] for s in samples]
         if key == "geom":
             device["geom"] = {
-                k: np.stack([v[k] for v in vals]) for k in vals[0]
+                k: _stack([v[k] for v in vals]) for k in vals[0]
             }
         elif has_rays and key in ("rgb", "ray_o", "ray_d", "near", "far"):
-            device[key] = np.stack([pad_to(np.asarray(v), n_rays) for v in vals])
+            device[key] = _stack([pad_to(np.asarray(v), n_rays) for v in vals])
         elif key in DEVICE_KEYS:
-            device[key] = np.stack([np.asarray(v) for v in vals])
+            device[key] = _stack([np.asarray(v) for v in vals])
         else:
             meta[key] = vals if len(vals) > 1 else vals[0]
 
     if has_rays:
-        device["ray_mask"] = np.stack([
+        device["ray_mask"] = _stack([
             pad_to(np.ones(s["rgb"].shape[0], np.float32), n_rays)
             for s in samples
         ])
@@ -198,19 +206,26 @@ class WorkerPool:
             else:
                 os.environ["JAX_PLATFORMS"] = prev
 
-    def _attach_geom(self, device, meta, payload):
+    def _attach_geom(self, device, meta, payload, attach=True):
         if payload:
             self.geom_cache.update(payload)
         keys = meta.pop("_geom_keys", None)
         if keys is not None:
-            geoms = [self.geom_cache[k] for k in keys]
-            device["geom"] = {
-                n: np.stack([g[n] for g in geoms]) for n in geoms[0]
-            }
+            if attach:
+                geoms = [self.geom_cache[k] for k in keys]
+                device["geom"] = {
+                    n: np.stack([g[n] for g in geoms]) for n in geoms[0]
+                }
+            else:
+                # device-geom mode: consumer assembles the stacked geom on
+                # DEVICE from a per-frame cache (geometry is frame-static;
+                # re-transferring ~15 MB/batch over the host->TPU link was
+                # the production pipeline's bottleneck)
+                meta["geom_keys"] = keys
         return device, meta
 
     def run_epoch(self, epoch, indices, batch_size, chunk_rays, spec,
-                  seed0, first_bi, n_batches):
+                  seed0, first_bi, n_batches, attach_geom=True):
         task = (epoch, list(indices), batch_size, chunk_rays, spec, seed0,
                 first_bi, n_batches)
         for q in self._tasks:
@@ -220,7 +235,7 @@ class WorkerPool:
             if next_bi in buf:
                 device, meta, payload = buf.pop(next_bi)
                 next_bi += 1
-                yield self._attach_geom(device, meta, payload)
+                yield self._attach_geom(device, meta, payload, attach_geom)
                 continue
             _, bi, device, meta, payload = self._results.get()
             if bi is None:
@@ -231,7 +246,7 @@ class WorkerPool:
         while next_bi in buf:
             device, meta, payload = buf.pop(next_bi)
             next_bi += 1
-            yield self._attach_geom(device, meta, payload)
+            yield self._attach_geom(device, meta, payload, attach_geom)
 
     def shutdown(self):
         for q in self._tasks:
@@ -251,7 +266,7 @@ class DataLoader:
 
     def __init__(self, dataset, indices, chunk_rays, batch_size=1,
                  prefetch=2, hat_cfg=None, hat_state=None, epoch=0,
-                 seed0=0, pool=None):
+                 seed0=0, pool=None, attach_geom=True):
         self.dataset = dataset
         self.indices = list(indices)
         self.chunk_rays = chunk_rays
@@ -262,6 +277,11 @@ class DataLoader:
         self.epoch = epoch
         self.seed0 = seed0
         self.pool = pool
+        # attach_geom=False: batches carry meta["geom_keys"] instead of
+        # stacked geometry; the numpy tables live in .geom_cache and the
+        # consumer stacks them ON DEVICE (see parallel/geom.py)
+        self.attach_geom = attach_geom
+        self.geom_cache = pool.geom_cache if pool is not None else {}
 
     def __len__(self):
         return len(self.indices) // self.batch_size
@@ -290,13 +310,28 @@ class DataLoader:
             raw, self._spec(), _batch_seed(self.epoch, 0, self.seed0 + 1))
         return device, meta
 
+    def _strip_geom(self, device, meta):
+        """attach_geom=False: move geometry out of the batch into the
+        parent-side cache, leaving meta['geom_keys'] references."""
+        if self.attach_geom:
+            return device, meta
+        keys = _geom_keys(meta)
+        if keys is None:
+            return device, meta
+        geom = device.pop("geom")
+        for i, k in enumerate(keys):
+            if k not in self.geom_cache:
+                self.geom_cache[k] = {n: v[i] for n, v in geom.items()}
+        meta["geom_keys"] = keys
+        return device, meta
+
     def _thread_iter(self, first_bi, spec):
         def produce(q):
             try:
                 for bi in range(first_bi, len(self)):
-                    q.put(produce_batch(
+                    q.put(self._strip_geom(*produce_batch(
                         self.dataset, self.indices, bi, self.batch_size,
-                        self.chunk_rays, spec, self.epoch, self.seed0))
+                        self.chunk_rays, spec, self.epoch, self.seed0)))
             finally:
                 q.put(None)
 
@@ -313,15 +348,17 @@ class DataLoader:
         first_bi = 0
         if self.hat_cfg is not None and "rows_caps" not in self.hat_state:
             device, meta = self._derive_hat_static()
-            yield device, meta
+            yield self._strip_geom(device, meta)
             first_bi = 1
         if first_bi >= len(self):
             return
         spec = self._spec()
         if self.pool is not None:
-            yield from self.pool.run_epoch(
-                self.epoch, self.indices, self.batch_size, self.chunk_rays,
-                spec, self.seed0, first_bi, len(self))
+            for device, meta in self.pool.run_epoch(
+                    self.epoch, self.indices, self.batch_size,
+                    self.chunk_rays, spec, self.seed0, first_bi, len(self),
+                    attach_geom=self.attach_geom):
+                yield device, meta
         else:
             yield from self._thread_iter(first_bi, spec)
 

@@ -16,11 +16,22 @@ except Exception:  # pragma: no cover
     cv2 = None
 
 
+_RAY_CACHE = {}
+
+
 def get_rays(H, W, K, R, T):
     """Pinhole rays in world space (ref: if_nerf_data_utils.py:8-21).
 
     Returns (ray_o [H,W,3] broadcast camera center, ray_d [H,W,3]).
+    Cameras are fixed per sequence, so the full-image grid is memoized
+    (recomputing 512^2 rays cost ~10 ms per loader sample — the single
+    biggest host-pipeline item after the hat planner).
     """
+    key = (H, W, np.asarray(K).tobytes(), np.asarray(R).tobytes(),
+           np.asarray(T).tobytes())
+    hit = _RAY_CACHE.get(key)
+    if hit is not None:
+        return hit
     cam_center = -R.T @ T.reshape(3)
     i, j = np.meshgrid(np.arange(W, dtype=np.float32),
                        np.arange(H, dtype=np.float32), indexing="xy")
@@ -29,7 +40,10 @@ def get_rays(H, W, K, R, T):
     world_pts = (cam_dirs - T.reshape(3)) @ R
     ray_d = world_pts - cam_center
     ray_o = np.broadcast_to(cam_center.astype(np.float32), ray_d.shape)
-    return ray_o, ray_d.astype(np.float32)
+    out = (ray_o, ray_d.astype(np.float32))
+    if len(_RAY_CACHE) < 256:  # bounded: sequences have few dozen cameras
+        _RAY_CACHE[key] = out
+    return out
 
 
 def project(xyz, K, RT):

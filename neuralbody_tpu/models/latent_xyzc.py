@@ -205,7 +205,8 @@ def make_static(cfg, dataset):
     geo = dataset.geo
     return ModelStatic(
         encoder=sparse_conv_net.EncoderStatic(
-            out_sh=geo.out_sh, site_caps=geo.site_caps),
+            out_sh=geo.out_sh, site_caps=geo.site_caps,
+            compute_dtype=str(cfg.tpu.compute_dtype)),
         xyz_res=cfg.xyz_res, view_res=cfg.view_res)
 
 

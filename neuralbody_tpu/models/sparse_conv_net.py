@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from ..ops.sparse_conv import (
     down_conv, masked_batch_norm, scatter_dense, site_mask, subm_conv,
+    subm_conv_xtri,
 )
 
 # (name, kind, n_convs, cin, cout); kind 'subm' keeps the site set,
@@ -41,9 +42,17 @@ BN_MOMENTUM = 0.01
 
 
 class EncoderStatic(NamedTuple):
-    """Hashable static spec: full-res grid shape + per-level site capacities."""
+    """Hashable static spec: full-res grid shape + per-level site capacities.
+
+    compute_dtype="bfloat16" stores conv activations (the gathered bytes)
+    in bf16 with f32 matmul accumulation and f32 BatchNorm — TPU gathers
+    are bytes-bound past ~3 ns/row (CLAUDE.md cost model), so this halves
+    the encoder's dominant cost. Parity vs f32 is ~1e-2 relative (bf16 has
+    8 mantissa bits); gate via cfg.tpu.compute_dtype.
+    """
     out_sh: tuple    # (D, H, W), multiples of 32
     site_caps: tuple  # 5 ints
+    compute_dtype: str = "float32"
 
     def level_sh(self, lvl: int) -> tuple:
         return tuple(s // (2 ** lvl) for s in self.out_sh)
@@ -79,17 +88,20 @@ def init(key):
     return params, stats
 
 
-def _conv_bn_relu(layer, feats, table, mask, up_table=None):
+def _conv_bn_relu(layer, feats, table, mask, up_table=None, xtri=None):
     """One (conv -> masked BN -> relu) layer over batched site lists.
 
     feats [B, S_in, C_in], table [B, S_out, 27] -> [B, S_out, C_out].
     BN statistics are joint over the batch's active sites. Convs use the
-    scatter-free custom-VJP primitives (up_table given => strided conv).
+    scatter-free custom-VJP primitives (up_table given => strided conv;
+    xtri given => w-triple packed submanifold conv).
     """
     # batch-native conv ops: a vmapped gather lowers to a batched gather
     # (operand_batching_dims) which misses the TPU fast row-gather path
     # (~2.5x slower in situ); the primitives flatten batch into rows
-    if up_table is None:
+    if xtri is not None:
+        y = subm_conv_xtri(feats, layer["w"], *xtri)
+    elif up_table is None:
         y = subm_conv(feats, layer["w"], table)
     else:
         y = down_conv(feats, layer["w"], table, up_table)
@@ -121,7 +133,15 @@ def apply_sites(params, codes, geom, static: EncoderStatic):
         for l in range(5)
     ]
 
-    x = codes
+    def xtri_tabs(lvl):
+        if f"xnbr9{lvl}" not in geom:
+            return None  # geoms built before the packed tables existed
+        return tuple(geom[f"x{n}{lvl}"]
+                     for n in ("lnbr", "rnbr", "nbr9", "augl", "augr"))
+
+    dt = (jnp.bfloat16 if static.compute_dtype == "bfloat16"
+          else jnp.float32)
+    x = codes.astype(dt)
     lvl = 0
     site_feats = []
     new_stats = {}
@@ -135,14 +155,21 @@ def apply_sites(params, codes, geom, static: EncoderStatic):
             up = None
         layer_stats = []
         for i in range(n):
+            is_down = kind == "down" and i == 0
             tbl = table if i == 0 else geom[f"nbr{lvl}"]
-            x, bn_batch = _conv_bn_relu(params[name][i], x, tbl, masks[lvl],
-                                        up_table=up if i == 0 else None)
+            x, bn_batch = _conv_bn_relu(
+                params[name][i], x, tbl, masks[lvl],
+                up_table=up if is_down else None,
+                xtri=None if is_down else xtri_tabs(lvl))
+            # conv accumulates f32 (preferred_element_type), BN runs f32;
+            # only the STORED activation (= next conv's gathered bytes)
+            # drops to compute_dtype
+            x = x.astype(dt)
             layer_stats.append({"mean": bn_batch[0], "var": bn_batch[1]})
         new_stats[name] = layer_stats
 
         if name in DENSE_AFTER:
-            site_feats.append(x)
+            site_feats.append(x.astype(jnp.float32))
 
     return site_feats, new_stats
 

@@ -255,13 +255,16 @@ def prepare_hat_batch(batch, out_sh, site_caps, voxel_size, n_samples,
         for k in rows_acc:
             rows_acc[k].append(plan[k])
 
+    def _stack(xs):  # copy-free for the B=1 reference recipe
+        return np.asarray(xs[0])[None] if len(xs) == 1 else np.stack(xs)
+
     batch = dict(batch)
-    batch["z_vals"] = np.stack(zs).astype(np.float32)
-    batch["hat_pts"] = np.stack(pts_s).astype(np.float32)
-    batch["hat_vdir"] = np.stack(vdir_s).astype(np.float32)
-    batch["hat_perm"] = np.stack(perms)
+    batch["z_vals"] = _stack(zs).astype(np.float32, copy=False)
+    batch["hat_pts"] = _stack(pts_s).astype(np.float32, copy=False)
+    batch["hat_vdir"] = _stack(vdir_s).astype(np.float32, copy=False)
+    batch["hat_perm"] = _stack(perms)
     for k, v in rows_acc.items():
-        batch[f"hat_{k}"] = np.stack(v)
+        batch[f"hat_{k}"] = _stack(v)
     hat_static = {"rows_caps": rows_caps, "n_groups": n_groups,
                   "group_size": group_size, "tile": tuple(tile)}
     return batch, hat_static

@@ -123,6 +123,78 @@ def up_table(in_sites: np.ndarray, out_lookup: _SiteLookup) -> np.ndarray:
     return np.where(even, idx, -1).astype(np.int32)
 
 
+def xtri_aug_tables(nbr: np.ndarray, cap: int, fix_cap: int) -> dict:
+    """w-triple packing tables from a [S, 27] subm table (-1 = missing).
+
+    The packed conv gathers ONE row per (dd, dh) column instead of three:
+    xtri[q] = [x[w-left(q)] | x[q] | x[w-right(q)]]. Columns whose center
+    (dd, dh, 0) neighbor is missing but a (dd, dh, +-1) neighbor exists
+    read an AUGMENTED row [x[augl] | 0 | x[augr]] appended to the xtri
+    table — fixups ride the same gather, no scatter.
+
+    Why this shape: TPU gather cost is max(rows * 3.2 ns, bytes / 58 GB/s)
+    (tools/probes/gather_rate.py), so halving rows only pays when bytes
+    drop too — pair with bf16 activations.
+
+    Returns (sentinels noted):
+      lnbr/rnbr [cap]    w-neighbor rows (cap = zero row of xpad)
+      nbr9 [9, cap]      xtri-row index per column (cap+fix_cap = zero row)
+      augl/augr [fix_cap] aug-row sources (cap = zero row of xpad)
+      n_aug []           actual aug rows used
+    """
+    S = nbr.shape[0]
+    lnbr = np.where(nbr[:, 12] < 0, cap, nbr[:, 12]).astype(np.int32)
+    rnbr = np.where(nbr[:, 14] < 0, cap, nbr[:, 14]).astype(np.int32)
+
+    sent9 = cap + fix_cap
+    nbr9 = np.full((9, cap), sent9, np.int32)
+    augl = np.full((fix_cap,), cap, np.int32)
+    augr = np.full((fix_cap,), cap, np.int32)
+    n_aug = 0
+    for t in range(9):
+        center = nbr[:, t * 3 + 1]
+        left = nbr[:, t * 3]
+        right = nbr[:, t * 3 + 2]
+        col = np.where(center < 0, sent9, center).astype(np.int32)
+        fix = (center < 0) & ((left >= 0) | (right >= 0))
+        idx = np.flatnonzero(fix)
+        if len(idx):
+            if n_aug + len(idx) > fix_cap:
+                raise ValueError(
+                    f"xtri aug overflow: needs >{fix_cap} rows; raise "
+                    f"the sequence fix caps (compute_fix_caps)")
+            rows = cap + n_aug + np.arange(len(idx), dtype=np.int32)
+            col[idx] = rows
+            augl[n_aug:n_aug + len(idx)] = np.where(
+                left[idx] < 0, cap, left[idx])
+            augr[n_aug:n_aug + len(idx)] = np.where(
+                right[idx] < 0, cap, right[idx])
+            n_aug += len(idx)
+        nbr9[t, :S] = col
+    return {"lnbr": _pad_rows(lnbr, cap, cap), "rnbr": _pad_rows(rnbr, cap, cap),
+            "nbr9": nbr9, "augl": augl, "augr": augr,
+            "n_aug": np.int32(n_aug)}
+
+
+def compute_fix_caps(frames_coords, out_sh, site_caps,
+                     round_to: int = 64) -> list[int]:
+    """Max per-level xtri aug-row counts over frames (static capacities)."""
+    out_sh = np.asarray(out_sh, dtype=np.int64)
+    caps = [0] * 5
+    for coords in frames_coords:
+        sites, _ = dedup_sites(coords.astype(np.int32), out_sh)
+        sh = out_sh.copy()
+        for lvl in range(5):
+            nbr = subm_table(sites, _SiteLookup(sites, sh))
+            center = nbr[:, 1::3]
+            side = (nbr[:, 0::3] >= 0) | (nbr[:, 2::3] >= 0)
+            caps[lvl] = max(caps[lvl], int(((center < 0) & side).sum()))
+            if lvl < 4:
+                sites = downsample_sites(sites, sh)
+                sh = sh // 2
+    return [max(round_to, -(-c // round_to) * round_to) for c in caps]
+
+
 def _pad_rows(a: np.ndarray, cap: int, fill) -> np.ndarray:
     if len(a) > cap:
         raise ValueError(
@@ -156,7 +228,8 @@ def compute_site_caps(frames_coords, out_sh, round_to: int = 256) -> list[int]:
     return [max(round_to, -(-c // round_to) * round_to) for c in caps]
 
 
-def build_frame_geometry(vertex_coords: np.ndarray, out_sh, site_caps):
+def build_frame_geometry(vertex_coords: np.ndarray, out_sh, site_caps,
+                         fix_caps=None):
     """Build all static-shape index tables for one frame.
 
     Args:
@@ -189,8 +262,18 @@ def build_frame_geometry(vertex_coords: np.ndarray, out_sh, site_caps):
             geom["vert_idx"] = np.where(
                 inverse >= 0, inverse, cap
             ).astype(np.int32)
-        nbr = subm_table(sites, lookup)
-        nbr = np.where(nbr < 0, cap, nbr)
+        nbr_raw = subm_table(sites, lookup)          # [S, 27], -1 missing
+        # w-triple packed tables for the xtri subm conv (the production
+        # path); fix_caps=None sizes the aug block exactly for this frame
+        if fix_caps is None:
+            center = nbr_raw[:, 1::3]
+            side = (nbr_raw[:, 0::3] >= 0) | (nbr_raw[:, 2::3] >= 0)
+            fcap = max(64, -(-int(((center < 0) & side).sum()) // 64) * 64)
+        else:
+            fcap = fix_caps[lvl]
+        for n, v in xtri_aug_tables(nbr_raw, cap, fcap).items():
+            geom[f"x{n}{lvl}"] = v
+        nbr = np.where(nbr_raw < 0, cap, nbr_raw)
         # device tables are TAP-MAJOR [27, S] (see gather_taps)
         geom[f"nbr{lvl}"] = np.ascontiguousarray(_pad_rows(nbr, cap, cap).T)
         geom[f"nsite{lvl}"] = np.int32(len(sites))
@@ -283,12 +366,25 @@ def gather_taps(feats, table):
     return flat[table + offs]                           # [B, 27, S', C]
 
 
+def _mxu_operand(x):
+    """bf16 stays bf16 on TPU (MXU-native, f32 accumulation via
+    preferred_element_type); the CPU backend lacks BF16xBF16=F32 dots, so
+    tests upcast — numerically identical (bf16 products are exact in f32).
+    """
+    if x.dtype == jnp.bfloat16 and jax.default_backend() != "tpu":
+        return x.astype(jnp.float32)
+    return x
+
+
 def sparse_conv_matmul(gathered, w):
     """[(B,) 27, S, Cin] x [27, Cin, Cout] -> [(B,) S, Cout] on the MXU.
 
     Batched matmul over the tap axis, then a tap-sum — the layout-friendly
     contraction for TPU (see gather_taps).
     """
+    w = w.astype(gathered.dtype)  # bf16 multiply, f32 accumulate
+    gathered = _mxu_operand(gathered)
+    w = _mxu_operand(w)
     if gathered.ndim == 3:
         per_tap = jax.lax.dot_general(
             gathered, w, (((2,), (1,)), ((0,), (0,))),
@@ -330,20 +426,125 @@ def _subm_fwd(x, w, nbr):
 
 def _subm_bwd(res, gy):
     x, w, nbr = res
-    gyg = gather_taps(gy, nbr)                          # [(B,) 27, S, Cout]
+    gyg = gather_taps(gy.astype(x.dtype), nbr)          # [(B,) 27, S, Cout]
     w_t = jnp.flip(w, axis=0).transpose(0, 2, 1)       # [27, Cout, Cin]
-    dx = sparse_conv_matmul(gyg, w_t)
+    dx = sparse_conv_matmul(gyg, w_t).astype(x.dtype)
     # dW needs the tap-flipped gathered cotangents (tap k of the flipped
     # tensor is gy[nbr[26-k]], the site one off_k step away); flipping the
     # small [27, Cin, Cout] RESULT instead of the big gather avoids a copy.
+    xo, go = _mxu_operand(x), _mxu_operand(gyg)
     if x.ndim == 2:
-        dw = jnp.flip(jnp.einsum("sc,ksd->kcd", x, gyg), axis=0)
+        dw = jnp.flip(jnp.einsum("sc,ksd->kcd", xo, go,
+                                 preferred_element_type=jnp.float32), axis=0)
     else:
-        dw = jnp.flip(jnp.einsum("bsc,bksd->kcd", x, gyg), axis=0)
-    return dx, dw, None
+        dw = jnp.flip(jnp.einsum("bsc,bksd->kcd", xo, go,
+                                 preferred_element_type=jnp.float32), axis=0)
+    return dx, dw.astype(w.dtype), None
 
 
 subm_conv.defvjp(_subm_fwd, _subm_bwd)
+
+
+# -- w-triple packed submanifold conv ---------------------------------------
+#
+# Gathers ONE 3C-wide row per (dd, dh) column instead of three C-wide rows
+# (tables from xtri_aug_tables): 11*S + 2*F rows per conv instead of 27*S.
+# TPU gathers cost max(rows * 3.2 ns, bytes / 58 GB/s) — the row-term win
+# here composes with bf16's bytes-term win (tools/probes/gather_rate.py).
+# Backward is scatter-free: both dx and dW reuse ONE packed gather of the
+# cotangent (same tables; the tap-flip identity off_{26-k} = -off_k maps
+# onto the packed layout as a reshape + flip).
+
+
+def _batch_rows(table, n_rows):
+    """Add per-batch row offsets for flattened batched gathers."""
+    B = table.shape[0]
+    offs = jnp.arange(B, dtype=table.dtype) * n_rows
+    return table + offs.reshape((B,) + (1,) * (table.ndim - 1))
+
+
+def xtri_gather(x, lnbr, rnbr, nbr9, augl, augr):
+    """Packed neighborhood gather.
+
+    x [(B,) cap, C]; lnbr/rnbr [(B,) cap]; nbr9 [(B,) 9, cap];
+    augl/augr [(B,) F]. Returns [(B,) 9, cap, 3C] where slot j of column t
+    holds x at offset (dd_t, dh_t, j-1) — fixup rows included.
+    """
+    if x.ndim == 2:
+        cap, C = x.shape
+        xpad = jnp.concatenate([x, jnp.zeros((1, C), x.dtype)])
+        base = jnp.concatenate([xpad[lnbr], x, xpad[rnbr]], axis=-1)
+        al = xpad[augl]
+        aug = jnp.concatenate([al, jnp.zeros_like(al), xpad[augr]], axis=-1)
+        tri = jnp.concatenate(
+            [base, aug, jnp.zeros((1, 3 * C), x.dtype)], axis=0)
+        return tri[nbr9]
+    B, cap, C = x.shape
+    xpad = jnp.concatenate([x, jnp.zeros((B, 1, C), x.dtype)], axis=1)
+    flat = xpad.reshape(B * (cap + 1), C)
+    xl = flat[_batch_rows(lnbr, cap + 1)]
+    xr = flat[_batch_rows(rnbr, cap + 1)]
+    base = jnp.concatenate([xl, x, xr], axis=-1)          # [B, cap, 3C]
+    al = flat[_batch_rows(augl, cap + 1)]
+    ar = flat[_batch_rows(augr, cap + 1)]
+    aug = jnp.concatenate([al, jnp.zeros_like(al), ar], axis=-1)
+    F = augl.shape[-1]
+    tri = jnp.concatenate(
+        [base, aug, jnp.zeros((B, 1, 3 * C), x.dtype)], axis=1)
+    tri_flat = tri.reshape(B * (cap + F + 1), 3 * C)
+    return tri_flat[_batch_rows(nbr9, cap + F + 1)]       # [B, 9, cap, 3C]
+
+
+def xtri_matmul(g9, w):
+    """[(B,) 9, S, 3Cin] x w [27, Cin, Cout] -> [(B,) S, Cout].
+
+    w reshaped to [9, 3Cin, Cout] matches the packed slot order (taps are
+    (dd, dh, dw) lexicographic with dw fastest, KERNEL_OFFSETS)."""
+    cin, cout = w.shape[1], w.shape[2]
+    w9 = _mxu_operand(w.reshape(9, 3 * cin, cout).astype(g9.dtype))
+    g9 = _mxu_operand(g9)
+    if g9.ndim == 3:
+        per = jax.lax.dot_general(
+            g9, w9, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        return jnp.sum(per, axis=0)
+    per = jnp.einsum("bkse,ked->bksd", g9, w9,
+                     preferred_element_type=jnp.float32)
+    return jnp.sum(per, axis=1)
+
+
+@jax.custom_vjp
+def subm_conv_xtri(x, w, lnbr, rnbr, nbr9, augl, augr):
+    """Packed submanifold conv: x [(B,) cap, Cin] -> [(B,) cap, Cout]."""
+    return xtri_matmul(xtri_gather(x, lnbr, rnbr, nbr9, augl, augr), w)
+
+
+def _subm_xtri_fwd(x, w, lnbr, rnbr, nbr9, augl, augr):
+    return (subm_conv_xtri(x, w, lnbr, rnbr, nbr9, augl, augr),
+            (x, w, lnbr, rnbr, nbr9, augl, augr))
+
+
+def _subm_xtri_bwd(res, gy):
+    x, w, lnbr, rnbr, nbr9, augl, augr = res
+    gy = gy.astype(x.dtype)
+    gyg9 = xtri_gather(gy, lnbr, rnbr, nbr9, augl, augr)
+    w_t = jnp.flip(w, axis=0).transpose(0, 2, 1)          # [27, Cout, Cin]
+    dx = xtri_matmul(gyg9, w_t).astype(x.dtype)
+    cin, cout = w.shape[1], w.shape[2]
+    xo, go = _mxu_operand(x), _mxu_operand(gyg9)
+    if x.ndim == 2:
+        d = jnp.einsum("sc,kse->kce", xo, go,
+                       preferred_element_type=jnp.float32)
+    else:
+        d = jnp.einsum("bsc,bkse->kce", xo, go,
+                       preferred_element_type=jnp.float32)
+    d27 = d.reshape(9, cin, 3, cout).transpose(0, 2, 1, 3) \
+           .reshape(27, cin, cout)
+    dw = jnp.flip(d27, axis=0).astype(w.dtype)
+    return dx, dw, None, None, None, None, None
+
+
+subm_conv_xtri.defvjp(_subm_xtri_fwd, _subm_xtri_bwd)
 
 
 @jax.custom_vjp
@@ -358,14 +559,17 @@ def _down_fwd(x, w, down_tbl, up_tbl):
 
 def _down_bwd(res, gy):
     x, w, down_tbl, up_tbl = res
-    gup = gather_taps(gy, up_tbl)                       # [(B,) 27, S_in, Cout]
+    gup = gather_taps(gy.astype(x.dtype), up_tbl)       # [(B,) 27, S_in, Cout]
     w_t = w.transpose(0, 2, 1)                          # [27, Cout, Cin]
-    dx = sparse_conv_matmul(gup, w_t)
+    dx = sparse_conv_matmul(gup, w_t).astype(x.dtype)
+    xo, go = _mxu_operand(x), _mxu_operand(gup)
     if x.ndim == 2:
-        dw = jnp.einsum("sc,ksd->kcd", x, gup)
+        dw = jnp.einsum("sc,ksd->kcd", xo, go,
+                        preferred_element_type=jnp.float32)
     else:
-        dw = jnp.einsum("bsc,bksd->kcd", x, gup)
-    return dx, dw, None, None
+        dw = jnp.einsum("bsc,bksd->kcd", xo, go,
+                        preferred_element_type=jnp.float32)
+    return dx, dw.astype(w.dtype), None, None
 
 
 down_conv.defvjp(_down_fwd, _down_bwd)

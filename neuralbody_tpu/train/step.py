@@ -90,6 +90,34 @@ def _one_train_step(params, bn_stats, opt_state, batch, key, settings, tx,
 
 @partial(jax.jit, static_argnames=("settings", "tx", "loss"),
          donate_argnames=("params", "bn_stats", "opt_state"))
+def train_step_scan_banked(params, bn_stats, opt_state, batches, keys,
+                           geom_bank, settings, tx, loss=None):
+    """train_step_scan with geometry selected from a device-resident bank.
+
+    batches carry int32 geom_rows [G, B] instead of stacked geom arrays —
+    the production path: frame geometry (~15 MB/frame) lives in HBM
+    (parallel/geom.py GeomBank) and is never re-shipped per batch; each
+    scan iteration takes its frames from the bank by index (large
+    contiguous slices, HBM-bandwidth).
+    """
+    def body(carry, xs):
+        params, bn_stats, opt_state = carry
+        batch, key = xs
+        batch = dict(batch)
+        rows = batch.pop("geom_rows")
+        batch["geom"] = {n: jnp.take(v, rows, axis=0)
+                         for n, v in geom_bank.items()}
+        params, bn_stats, opt_state, stats = _one_train_step(
+            params, bn_stats, opt_state, batch, key, settings, tx, loss=loss)
+        return (params, bn_stats, opt_state), stats
+
+    (params, bn_stats, opt_state), stats = jax.lax.scan(
+        body, (params, bn_stats, opt_state), (batches, keys))
+    return params, bn_stats, opt_state, stats
+
+
+@partial(jax.jit, static_argnames=("settings", "tx", "loss"),
+         donate_argnames=("params", "bn_stats", "opt_state"))
 def train_step_scan(params, bn_stats, opt_state, batches, keys,
                     settings, tx, loss=None):
     """Run G optimization steps in ONE dispatch via lax.scan.

@@ -98,9 +98,12 @@ class SyntheticDataset:
             / voxel_size) for f_ in frames], axis=0).astype(np.int64)
         self.out_sh = tuple(int((s | 31) + 1) for s in max_sh)
         self.site_caps = tuple(compute_site_caps(coords, self.out_sh))
+        from ..ops.sparse_conv import compute_fix_caps
+        fix_caps = compute_fix_caps(coords, self.out_sh, self.site_caps)
         for i, f_ in enumerate(frames):
             f_["geom"] = build_frame_geometry(
-                f_["coord"], self.out_sh, list(self.site_caps))
+                f_["coord"], self.out_sh, list(self.site_caps),
+                fix_caps=fix_caps)
 
         # crude rendered views, stored JPEG-encoded (+ binary masks)
         self._jpgs, self._msks = {}, {}

@@ -266,7 +266,7 @@ class DataLoader:
 
     def __init__(self, dataset, indices, chunk_rays, batch_size=1,
                  prefetch=2, hat_cfg=None, hat_state=None, epoch=0,
-                 seed0=0, pool=None, attach_geom=True):
+                 seed0=0, pool=None, attach_geom=True, geom_cache=None):
         self.dataset = dataset
         self.indices = list(indices)
         self.chunk_rays = chunk_rays
@@ -281,7 +281,8 @@ class DataLoader:
         # stacked geometry; the numpy tables live in .geom_cache and the
         # consumer stacks them ON DEVICE (see parallel/geom.py)
         self.attach_geom = attach_geom
-        self.geom_cache = pool.geom_cache if pool is not None else {}
+        self.geom_cache = (pool.geom_cache if pool is not None
+                           else ({} if geom_cache is None else geom_cache))
 
     def __len__(self):
         return len(self.indices) // self.batch_size
@@ -372,7 +373,7 @@ def make_dataset(cfg, split):
 
 def make_data_loader(cfg, split, dataset=None, epoch=0, num_hosts=1,
                      host_id=0, hat_state=None, pool=None,
-                     local_devices=1):
+                     local_devices=1, attach_geom=True, geom_cache=None):
     """Factory mirroring the reference loader assembly
     (ref: lib/datasets/make_dataset.py:70-96).
 
@@ -439,4 +440,5 @@ def make_data_loader(cfg, split, dataset=None, epoch=0, num_hosts=1,
     seed0 = host_id * 900001 if host_mode else 0
     return DataLoader(dataset, idx, chunk, batch_size=bs, hat_cfg=hat_cfg,
                       hat_state=hat_state, epoch=epoch, seed0=seed0,
-                      pool=pool)
+                      pool=pool, attach_geom=attach_geom,
+                      geom_cache=geom_cache)

@@ -54,6 +54,8 @@ def build_tpose_geometry(tverts, voxel_size, pad=0.05):
 
 @register("dataset", "tpose")
 class TposeDataset(MultiViewDataset):
+    num_geoms = 1  # one shared T-pose geometry (GeomBank capacity hint)
+
     def __init__(self, cfg, data_cfg, split):
         super().__init__(cfg, data_cfg, split)
 

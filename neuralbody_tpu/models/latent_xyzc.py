@@ -25,7 +25,7 @@ from ..ops.embedder import positional_encoding
 from ..ops.grid_sample import grid_sample_3d
 from ..ops.sparse_conv import scatter_vertex_codes
 from . import sparse_conv_net
-from .nn_utils import dense, dense_init, embedding_init
+from .nn_utils import dense, dense_init, embedding_init, mxu_dtype
 
 FEATURE_DIM = 352   # 32 + 64 + 128 + 128 concatenated scales
 
@@ -135,10 +135,10 @@ def interpolate_site_features(site_feats, index_vols, dhw_vox, static):
     return jnp.concatenate(outs, axis=-1)
 
 
-def _density_trunk(params, feat):
-    net = jax.nn.relu(dense(params["fc_0"], feat))
-    net = jax.nn.relu(dense(params["fc_1"], net))
-    net = jax.nn.relu(dense(params["fc_2"], net))
+def _density_trunk(params, feat, dt=None):
+    net = jax.nn.relu(dense(params["fc_0"], feat, dt))
+    net = jax.nn.relu(dense(params["fc_1"], net, dt))
+    net = jax.nn.relu(dense(params["fc_2"], net, dt))
     return net
 
 
@@ -158,22 +158,30 @@ def decode_raw(params, feat, wpts, viewdir, frame, static: ModelStatic):
     The post-interpolation half of the reference decode
     (ref: latent_xyzc.py:99-126); shared by all interpolation paths.
     """
-    net = _density_trunk(params, feat)
-    alpha = dense(params["alpha_fc"], net)
+    # decode MLP in the encoder's compute dtype (bf16 on TPU when
+    # configured: single-pass MXU matmuls, f32 accumulation)
+    dt = mxu_dtype(static.encoder.compute_dtype)
+    dt = None if dt == jnp.float32 else dt
+    net = _density_trunk(params, feat, dt)
+    alpha = dense(params["alpha_fc"], net, dt)
 
-    features = dense(params["feature_fc"], net)
+    features = dense(params["feature_fc"], net, dt)
     latent = params["frame_latent"][frame["latent_index"]]
     latent = jnp.broadcast_to(
         latent, features.shape[:-1] + (latent.shape[-1],))
     features = dense(params["latent_fc"],
-                     jnp.concatenate([features, latent], axis=-1))
+                     jnp.concatenate([features,
+                                      latent.astype(features.dtype)],
+                                     axis=-1), dt)
 
     view_emb = positional_encoding(viewdir, static.view_res)
     xyz_emb = positional_encoding(wpts, static.xyz_res)
-    features = jnp.concatenate([features, view_emb, xyz_emb], axis=-1)
+    features = jnp.concatenate(
+        [features, view_emb.astype(features.dtype),
+         xyz_emb.astype(features.dtype)], axis=-1)
 
-    net = jax.nn.relu(dense(params["view_fc"], features))
-    rgb = dense(params["rgb_fc"], net)
+    net = jax.nn.relu(dense(params["view_fc"], features, dt))
+    rgb = dense(params["rgb_fc"], net, dt)
 
     return jnp.concatenate([rgb, alpha], axis=-1)
 

@@ -18,8 +18,22 @@ def dense_init(key, cin, cout):
     }
 
 
-def dense(layer, x):
-    return jnp.dot(x, layer["w"], preferred_element_type=jnp.float32) + layer["b"]
+def mxu_dtype(compute_dtype: str):
+    """Dtype for matmul operands: bf16 on TPU when requested (single-pass
+    MXU, f32 accumulation), f32 otherwise (CPU lacks BF16xBF16=F32 dots;
+    f32 Precision.DEFAULT there is exact enough for tests)."""
+    if compute_dtype == "bfloat16" and jax.default_backend() == "tpu":
+        return jnp.bfloat16
+    return jnp.float32
+
+
+def dense(layer, x, dt=None):
+    """Pointwise linear; dt=bf16 casts operands (f32 accumulate + f32 bias)."""
+    w = layer["w"]
+    if dt is not None:
+        x = x.astype(dt)
+        w = w.astype(dt)
+    return jnp.dot(x, w, preferred_element_type=jnp.float32) + layer["b"]
 
 
 def embedding_init(key, num, dim):

@@ -99,11 +99,18 @@ def plan_hat_groups(dhw_pts, geom, out_sh, site_caps, group_size=128,
     P = group_size
     s1 = _level_scale(out_sh, 1)
     pos1 = dhw_pts * s1
-    D1, H1 = out_sh[0] // 2, out_sh[1] // 2
+    D1, H1, W1 = (s // 2 for s in out_sh)
     dc = np.clip(np.floor(pos1[:, 0]).astype(np.int64), 0, D1 - 1)
     hc = np.clip(np.floor(pos1[:, 1]).astype(np.int64), 0, H1 - 1)
     n_th = -(-H1 // tile[1])
     tile_id = (dc // tile[0]) * n_th + hc // tile[1]
+    if len(tile) > 2:
+        # 3D tiles: bucketing w too shrinks each group's site-row lists
+        # from full-w (d, h) stripes to the local w window (the 2D lists
+        # were 57-83% padding at the reference working point)
+        wc = np.clip(np.floor(pos1[:, 2]).astype(np.int64), 0, W1 - 1)
+        n_tw = -(-W1 // tile[2])
+        tile_id = tile_id * n_tw + wc // tile[2]
 
     order = np.argsort(tile_id, kind="stable").astype(np.int32)
     tids = tile_id[order]
@@ -160,21 +167,35 @@ def plan_hat_groups(dhw_pts, geom, out_sh, site_caps, group_size=128,
         sites = geom[f"sites{lvl}"][:ns].astype(np.int64)     # sorted by code
         key = (sites[:, 0] * Hl + sites[:, 1]) * Wl + sites[:, 2]
 
-        # per-group (d-slice, h-range) segments, fully vectorized: one
-        # searchsorted over all [ngrp, nd] slice bounds, then a flat
-        # "multi-arange" scatter into the padded rows array (the previous
-        # per-group Python loop cost ~10 ms/batch/level — far over the
-        # ~3 ms/batch host budget at 8 steps per ~24 ms dispatch)
+        # per-group segments, fully vectorized: one searchsorted over all
+        # slice bounds, then a flat "multi-arange" scatter into the padded
+        # rows array (the previous per-group Python loop cost ~10 ms/batch/
+        # level). 2D tiles -> one (d, h-range, all-w) segment per d-slice
+        # (contiguous in the (d,h,w)-sorted site table); 3D tiles -> one
+        # (d, h, w-range) segment per (d, h) pair.
         nd = int((d_hi - d_lo).max()) + 1 if ngrp else 1
         ds = d_lo[:, None] + np.arange(nd, dtype=np.int64)[None, :]
-        valid = ds <= d_hi[:, None]
+        dvalid = ds <= d_hi[:, None]
         dsc = np.minimum(ds, d_hi[:, None])
-        seg_a = np.searchsorted(
-            key, ((dsc * Hl + h_lo[:, None]) * Wl).ravel()).reshape(ngrp, nd)
-        seg_b = np.searchsorted(
-            key, ((dsc * Hl + h_hi[:, None] + 1) * Wl).ravel()
-        ).reshape(ngrp, nd)
-        lens = np.where(valid, seg_b - seg_a, 0)
+        if len(tile) > 2:
+            w_lo = np.clip(lo[:, 2], 0, Wl - 1)
+            w_hi = np.clip(hi[:, 2], 0, Wl - 1)
+            nh = int((h_hi - h_lo).max()) + 1 if ngrp else 1
+            hs = h_lo[:, None] + np.arange(nh, dtype=np.int64)[None, :]
+            hvalid = hs <= h_hi[:, None]
+            hsc = np.minimum(hs, h_hi[:, None])
+            base = (dsc[:, :, None] * Hl + hsc[:, None, :]) * Wl
+            q_lo = base + w_lo[:, None, None]
+            q_hi = base + w_hi[:, None, None] + 1
+            seg_valid = dvalid[:, :, None] & hvalid[:, None, :]
+        else:
+            q_lo = ((dsc * Hl + h_lo[:, None]) * Wl)[:, :, None]
+            q_hi = ((dsc * Hl + h_hi[:, None] + 1) * Wl)[:, :, None]
+            seg_valid = dvalid[:, :, None]
+        nseg = q_lo.shape[1] * q_lo.shape[2]
+        seg_a = np.searchsorted(key, q_lo.ravel()).reshape(ngrp, nseg)
+        seg_b = np.searchsorted(key, q_hi.ravel()).reshape(ngrp, nseg)
+        lens = np.where(seg_valid.reshape(ngrp, nseg), seg_b - seg_a, 0)
         gl = lens.sum(axis=1)
 
         need = int(gl.max()) if ngrp else 0
@@ -194,7 +215,7 @@ def plan_hat_groups(dhw_pts, geom, out_sh, site_caps, group_size=128,
             in_seg = ar - np.repeat(np.cumsum(flat_lens) - flat_lens,
                                     flat_lens)
             rows_flat = np.repeat(seg_a.ravel(), flat_lens) + in_seg
-            g_of = np.repeat(np.arange(ngrp * nd) // nd, flat_lens)
+            g_of = np.repeat(np.arange(ngrp * nseg) // nseg, flat_lens)
             pos_in_g = ar - np.repeat(np.cumsum(gl) - gl, gl)
             rows[g_of, pos_in_g] = rows_flat.astype(np.int32)
         out[f"rows{lvl}"] = rows
@@ -279,13 +300,16 @@ def hat_interp_level(feats, sites, rows, pos):
     """One level's interpolation for all groups.
 
     Args:
-      feats: [capS, C] site features (padded rows zero).
+      feats: [capS, C] site features (padded rows zero). bf16 feats switch
+        the contraction to single-pass bf16 MXU matmuls (f32 accumulation);
+        f32 feats use Precision.HIGHEST for exact-parity contracts
+        (tests/test_hat_interp.py).
       sites: [capS, 3] int site coords (padded rows hold a huge sentinel).
       rows:  [ngrp, capR] row lists (sentinel capS -> zero feature row and
              far-away coord -> hat weight exactly 0).
       pos:   [ngrp, P, 3] level-grid continuous positions.
 
-    Returns [ngrp, P, C].
+    Returns [ngrp, P, C] float32.
     """
     fpad = jnp.concatenate([feats, jnp.zeros_like(feats[:1])], axis=0)
     spad = jnp.concatenate(
@@ -295,6 +319,10 @@ def hat_interp_level(feats, sites, rows, pos):
     rc = spad[rows]                                  # [ngrp, capR, 3]
     diff = jnp.abs(pos[:, :, None, :] - rc[:, None, :, :])
     hat = jnp.prod(jnp.maximum(0.0, 1.0 - diff), axis=-1)   # [ngrp, P, capR]
+    if feats.dtype == jnp.bfloat16:
+        return jax.lax.dot_general(
+            hat.astype(jnp.bfloat16), rf, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
     # f32-accurate contraction (hat weights are exact trilinear weights)
     return jax.lax.dot_general(
         hat, rf, (((2,), (1,)), ((0,), (0,))),

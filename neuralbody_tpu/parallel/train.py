@@ -117,3 +117,44 @@ def make_sharded_scan_step(mesh: Mesh, settings: RenderSettings,
         out_shardings=(rep, rep, rep, rep),
         donate_argnums=(0, 1, 2),
     )
+
+
+def make_sharded_scan_step_banked(mesh: Mesh, settings: RenderSettings,
+                                  tx: optax.GradientTransformation,
+                                  example_batch: dict, loss=None):
+    """Scan step whose geometry comes from an HBM-resident GeomBank.
+
+    example_batch carries int32 geom_rows [G, B] instead of geom arrays;
+    the bank pytree is passed per call (replicated) and indexed inside the
+    scan body — frame tables are never re-shipped from the host
+    (parallel/geom.py). Single-process path; multi-host uses the plain
+    scan step with host-attached geometry.
+    """
+    import jax.numpy as jnp
+
+    rep = replicated(mesh)
+    scan_shardings = batch_shardings(mesh, example_batch, stacked=True)
+
+    def step(params, bn_stats, opt_state, batches, keys, bank):
+        def body(carry, xs):
+            params, bn_stats, opt_state = carry
+            batch, key = xs
+            batch = dict(batch)
+            rows = batch.pop("geom_rows")
+            batch["geom"] = {n: jnp.take(v, rows, axis=0)
+                             for n, v in bank.items()}
+            params, bn_stats, opt_state, stats = _one_train_step(
+                params, bn_stats, opt_state, batch, key, settings, tx,
+                loss=loss)
+            return (params, bn_stats, opt_state), stats
+
+        (params, bn_stats, opt_state), stats = jax.lax.scan(
+            body, (params, bn_stats, opt_state), (batches, keys))
+        return params, bn_stats, opt_state, stats
+
+    return jax.jit(
+        step,
+        in_shardings=(rep, rep, rep, scan_shardings, rep, rep),
+        out_shardings=(rep, rep, rep, rep),
+        donate_argnums=(0, 1, 2),
+    )

@@ -100,6 +100,12 @@ def render_rays_hat(params, batch, settings: RenderSettings, key=None,
 
     site_feats, new_stats = lx.encode_sparse_voxels(
         params, batch["geom"], s.model, densify=False)
+    from ..models.nn_utils import mxu_dtype
+    dt = mxu_dtype(s.model.encoder.compute_dtype)
+    if dt == jnp.bfloat16:
+        # bf16 site features halve the hat gather bytes and switch the
+        # interpolation contraction to single-pass MXU matmuls
+        site_feats = [x.astype(dt) for x in site_feats]
 
     B, R = batch["ray_o"].shape[:2]
     n_samples = batch["z_vals"].shape[-1]   # the host planner is authoritative

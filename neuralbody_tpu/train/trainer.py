@@ -17,7 +17,8 @@ import optax
 from ..config import build
 from ..datasets.loader import make_data_loader, make_dataset
 from ..parallel.mesh import make_mesh, shard_batch
-from ..parallel.train import make_sharded_scan_step
+from ..parallel.train import (make_sharded_scan_step,
+                              make_sharded_scan_step_banked)
 from .. import evaluators, models, renderer  # noqa: F401  (registers plugins)
 from .checkpoint import load_checkpoint, save_checkpoint
 from .optimizer import make_optimizer
@@ -58,6 +59,13 @@ class Trainer:
         self._steps = {}   # compiled scan steps keyed by group size
         self.hat_state = {}  # persistent hat-planner statics (one compile)
         self._pool = None  # persistent loader worker pool
+        # single-process: frame geometry lives in an HBM-resident bank and
+        # is selected by index inside the jitted step — never re-shipped
+        # per batch (parallel/geom.py; ~15 MB/frame over the host link).
+        # Multi-host keeps host-attached geometry (global-batch assembly).
+        self.use_geom_bank = self.num_hosts == 1
+        self._geom_host_cache = {}
+        self._bank = None
 
         self.recorder = Recorder(cfg, self.is_primary)
         self.evaluator = build("evaluator", cfg.evaluator_module, cfg)
@@ -89,11 +97,15 @@ class Trainer:
         if nw > 0 and self._pool is None:
             from ..datasets.loader import WorkerPool
             self._pool = WorkerPool(self.train_dataset, nw)
+        if self._pool is not None:
+            self._geom_host_cache = self._pool.geom_cache
         return make_data_loader(
             cfg, "train", dataset=self.train_dataset, epoch=epoch,
             num_hosts=self.num_hosts, host_id=self.host_id,
             hat_state=self.hat_state, pool=self._pool,
-            local_devices=jax.local_device_count())
+            local_devices=jax.local_device_count(),
+            attach_geom=not self.use_geom_bank,
+            geom_cache=self._geom_host_cache)
 
     def train_epoch(self, epoch):
         cfg = self.cfg
@@ -104,6 +116,7 @@ class Trainer:
 
         G = max(1, int(cfg.tpu.get("steps_per_dispatch", 4)))
         pending = []
+        pending_keys = []
         it = 0
         flushed_full = False
 
@@ -112,26 +125,47 @@ class Trainer:
             if not pending:
                 return
             g = len(pending)
+            banked = pending_keys[0] is not None
+            if banked and self._bank is None:
+                from ..parallel.geom import GeomBank
+                ds = self.train_dataset
+                cap = getattr(ds, "num_geoms", None) or (
+                    2 + -(-len(ds) // max(getattr(ds, "num_cams", 1), 1)))
+                self._bank = GeomBank(self._geom_host_cache, capacity=cap)
             stacked = jax.tree.map(
                 lambda *xs: np.stack(xs), *pending,
                 is_leaf=lambda x: not isinstance(x, dict))
+            if banked:
+                bank_arrays, stacked["geom_rows"] = self._bank.rows(
+                    pending_keys)
             batches = shard_batch(self.mesh, stacked, stacked=True,
                                   mode=self.data_mode)
             nonlocal key
             key, *subs = jax.random.split(key, g + 1)
             keys = jnp.stack(subs)
-            if g not in self._steps:
+            if (g, banked) not in self._steps:
                 one = jax.tree.map(lambda x: x[0], stacked,
                                    is_leaf=lambda x: not isinstance(x, dict))
-                self._steps[g] = make_sharded_scan_step(
+                make = (make_sharded_scan_step_banked if banked
+                        else make_sharded_scan_step)
+                kw = {} if banked else {"mode": self.data_mode}
+                self._steps[(g, banked)] = make(
                     self.mesh, self.settings, self.tx, one,
-                    loss=self.loss_fn, mode=self.data_mode)
-            (self.params, self.bn_stats, self.opt_state,
-             stats) = self._steps[g](self.params, self.bn_stats,
-                                     self.opt_state, batches, keys)
+                    loss=self.loss_fn, **kw)
+            if banked:
+                (self.params, self.bn_stats, self.opt_state,
+                 stats) = self._steps[(g, banked)](
+                    self.params, self.bn_stats, self.opt_state, batches,
+                    keys, bank_arrays)
+            else:
+                (self.params, self.bn_stats, self.opt_state,
+                 stats) = self._steps[(g, banked)](
+                    self.params, self.bn_stats, self.opt_state, batches,
+                    keys)
             if g == G:
                 flushed_full = True
             pending.clear()
+            pending_keys.clear()
             self.recorder.step += g
             it += g
             self.recorder.batch_time.update(timer.tick() / g)
@@ -148,6 +182,7 @@ class Trainer:
         for device_batch, meta in loader:
             self.recorder.data_time.update(timer.tick())
             pending.append(device_batch)
+            pending_keys.append(meta.get("geom_keys"))
             if len(pending) == G:
                 flush()
         # drop the tail group rather than compile a second scan step for
@@ -158,6 +193,7 @@ class Trainer:
             flush()
         else:
             pending.clear()
+            pending_keys.clear()
 
     def fit(self):
         """Epoch loop with preemption-safe checkpointing: SIGTERM/SIGINT

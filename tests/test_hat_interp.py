@@ -68,6 +68,36 @@ def test_hat_level_matches_site_interp(scene):
         np.asarray(feat_site), rtol=1e-5, atol=1e-5)
 
 
+def test_hat_3d_tiles_match_site_interp(scene):
+    """3D (d, h, w) tiles shrink the per-group row lists; the interpolation
+    contract must hold unchanged."""
+    _, base_np, static, ms, params = scene
+    batch_np, _ = make_batch(
+        n_rays=N_RAYS, n_verts=512, voxel_size=VOX, seed=3,
+        hat=True, n_samples=N_SAMPLES, hat_perturb=False,
+        hat_static=dict(group_size=GROUP, tile=(4, 8, 8)))
+    batch = jax.tree.map(jnp.asarray, batch_np)
+    geom = batch["geom"]
+    site_feats, _ = latent_xyzc.encode_sparse_voxels(
+        params, geom, ms, densify=False)
+    ivols = sparse_conv_net.index_volumes(geom, ms.encoder)
+    geom0 = {k: v[0] for k, v in geom.items()}
+    rows = {l: batch[f"hat_rows{l}"][0] for l in (1, 2, 3, 4)}
+    wpts = batch["hat_pts"][0]
+    frame = {"R": batch["R"][0], "Th": batch["Th"][0],
+             "bounds": batch["bounds"][0]}
+    ppts = latent_xyzc.pts_to_can_pts(wpts, frame["R"], frame["Th"])
+    dhw = latent_xyzc.get_dhw_vox(ppts, frame["bounds"], (VOX,) * 3)
+    feat_hat = hat_interp.hat_interpolate(
+        [x[0] for x in site_feats], geom0, rows, dhw, ms)
+    feat_site = latent_xyzc.interpolate_site_features(
+        [x[0] for x in site_feats], [v[0] for v in ivols],
+        dhw.reshape(-1, 3), ms)
+    np.testing.assert_allclose(
+        np.asarray(feat_hat.reshape(-1, feat_hat.shape[-1])),
+        np.asarray(feat_site), rtol=1e-5, atol=1e-5)
+
+
 def test_hat_render_matches_site_render(scene):
     batch_np, base_np, static, ms, params = scene
     s_hat = RenderSettings(model=ms, voxel_size=(VOX,) * 3,

@@ -34,8 +34,20 @@ import jax.numpy as jnp
 import numpy as np
 
 # ---------------------------------------------------------------------------
-# host: planning (numpy)
+# host: planning (numpy; steady-state path dispatches to the C++ planner)
 # ---------------------------------------------------------------------------
+
+_NATIVE = None
+
+
+def _native_ok():
+    """The C++ planner builds lazily on first use; any failure (no g++,
+    read-only checkout) permanently falls back to numpy."""
+    global _NATIVE
+    if _NATIVE is None:
+        from . import hat_planner_native
+        _NATIVE = hat_planner_native.available()
+    return _NATIVE
 
 
 def stratified_z_np(near, far, n_samples, rng=None):
@@ -95,6 +107,16 @@ def plan_hat_groups(dhw_pts, geom, out_sh, site_caps, group_size=128,
       rows{l}   [ngrp, cap_l]    site-row lists, sentinel = site_caps[l]
       rows_caps, n_groups        the static sizes used
     """
+    if (rows_caps is not None and n_groups is not None
+            and tuple(levels) == (1, 2, 3, 4) and _native_ok()):
+        from .hat_planner_native import plan_hat_groups_native
+        plan = plan_hat_groups_native(
+            dhw_pts, geom, out_sh, site_caps, group_size, tile,
+            rows_caps, n_groups)
+        if plan is not None:
+            return plan
+        # overflow: fall through to numpy for the informative error
+
     N = dhw_pts.shape[0]
     P = group_size
     s1 = _level_scale(out_sh, 1)
@@ -231,10 +253,15 @@ def prepare_hat_batch(batch, out_sh, site_caps, voxel_size, n_samples,
 
     Adds (per batch element, stacked):
       z_vals   [B, R, S]        host-sampled depths (rng=None -> perturb off)
-      hat_pts  [B, ngrp, P, 3]  world-space points in sorted group order
-      hat_vdir [B, ngrp, P, 3]  normalized view dirs, same order
+      hat_sort [B, ngrp*P]      sorted slot -> original sample index
+                                (uint16 when R*S <= 65536)
       hat_perm [B, R*S]         de-sort gather indices (ray layout <- sorted)
-      hat_rows{l} [B, ngrp, cap_l]
+      hat_rows{l} [B, ngrp, cap_l]  (uint16 when site_caps[l] fits)
+    The device reconstructs the sorted world points / view dirs from
+    (ray_o, ray_d, z_vals, hat_sort) — shipping them as f32 [ngrp, P, 3]
+    arrays cost 3.8 MB/batch, ~60% of the payload, and the host->TPU link
+    is the production bottleneck (tools/probes/fresh_breakdown.py).
+
     Returns (batch, hat_static) where hat_static = {rows_caps, n_groups,
     group_size, tile} — the static sizes must be reused across steps for a
     single compile (same pattern as site_caps).
@@ -242,8 +269,9 @@ def prepare_hat_batch(batch, out_sh, site_caps, voxel_size, n_samples,
     B, R = batch["ray_o"].shape[:2]
     vs = np.asarray(voxel_size, np.float32)
     rev = [2, 1, 0]
+    sort_dt = np.uint16 if R * n_samples <= 65536 else np.int32
 
-    zs, pts_s, vdir_s, perms, rows_acc = [], [], [], [], None
+    zs, sorts, perms, rows_acc = [], [], [], None
     for b in range(B):
         z = stratified_z_np(batch["near"][b], batch["far"][b], n_samples, rng)
         pts = (batch["ray_o"][b][:, None, :]
@@ -261,34 +289,44 @@ def prepare_hat_batch(batch, out_sh, site_caps, voxel_size, n_samples,
         rows_caps = plan["rows_caps"]
         n_groups = plan["n_groups"]
 
-        vd = batch["ray_d"][b] / np.maximum(
-            np.linalg.norm(batch["ray_d"][b], axis=-1, keepdims=True), 1e-8)
-        vd = np.repeat(vd[:, None, :], n_samples, axis=1).reshape(-1, 3)
-
-        P = group_size
         zs.append(z)
-        pts_s.append(pts[plan["perm"]].reshape(-1, P, 3))
-        vdir_s.append(vd[plan["perm"]].reshape(-1, P, 3))
+        sorts.append(plan["perm"].astype(sort_dt, copy=False))
         perms.append(plan["fwd_perm"])
         if rows_acc is None:
             rows_acc = {k: [] for k in plan if k.startswith("rows") and
                         k != "rows_caps"}
         for k in rows_acc:
-            rows_acc[k].append(plan[k])
+            lvl = int(k[4:])
+            dt = np.uint16 if site_caps[lvl] <= 65535 else np.int32
+            rows_acc[k].append(plan[k].astype(dt, copy=False))
 
     def _stack(xs):  # copy-free for the B=1 reference recipe
         return np.asarray(xs[0])[None] if len(xs) == 1 else np.stack(xs)
 
     batch = dict(batch)
     batch["z_vals"] = _stack(zs).astype(np.float32, copy=False)
-    batch["hat_pts"] = _stack(pts_s).astype(np.float32, copy=False)
-    batch["hat_vdir"] = _stack(vdir_s).astype(np.float32, copy=False)
+    batch["hat_sort"] = _stack(sorts)
     batch["hat_perm"] = _stack(perms)
     for k, v in rows_acc.items():
         batch[f"hat_{k}"] = _stack(v)
     hat_static = {"rows_caps": rows_caps, "n_groups": n_groups,
                   "group_size": group_size, "tile": tuple(tile)}
     return batch, hat_static
+
+
+def sorted_pts_np(batch, b, n_samples):
+    """Host-side reconstruction of the sorted group points/dirs (what the
+    device computes in render_rays_hat) — used by tests and probes."""
+    z = batch["z_vals"][b]
+    pts = (batch["ray_o"][b][:, None, :]
+           + batch["ray_d"][b][:, None, :] * z[..., None]).reshape(-1, 3)
+    srt = np.asarray(batch["hat_sort"][b]).astype(np.int64)
+    ngrp = batch["hat_rows1"].shape[-2]
+    P = srt.shape[0] // ngrp
+    vd = batch["ray_d"][b] / np.maximum(
+        np.linalg.norm(batch["ray_d"][b], axis=-1, keepdims=True), 1e-8)
+    return (pts[srt].reshape(-1, P, 3),
+            vd[srt // n_samples].reshape(-1, P, 3))
 
 
 # ---------------------------------------------------------------------------

@@ -89,10 +89,14 @@ def render_rays_hat(params, batch, settings: RenderSettings, key=None,
     """Training hot path: grouped hat-matmul interpolation.
 
     Requires the host-planned batch fields from
-    ops.hat_interp.prepare_hat_batch (z_vals, hat_pts, hat_vdir, hat_perm,
-    hat_rows{1..4}). Numerically equivalent to the site/dense paths at the
-    same z samples (tests/test_hat_interp.py); z sampling lives on the host
-    here, so `key` only feeds the raw-noise term.
+    ops.hat_interp.prepare_hat_batch (z_vals, hat_sort, hat_perm,
+    hat_rows{1..4}). The sorted world points / view dirs are reconstructed
+    ON DEVICE from (ray_o, ray_d, z_vals, hat_sort): two ~N-row gathers
+    (~1 ms) in exchange for 3.8 MB/batch less host->TPU traffic, the
+    production pipeline's bottleneck (tools/probes/fresh_breakdown.py).
+    Numerically equivalent to the site/dense paths at the same z samples
+    (tests/test_hat_interp.py); z sampling lives on the host here, so `key`
+    only feeds the raw-noise term.
     """
     s = settings
     from ..models import latent_xyzc as lx
@@ -113,9 +117,20 @@ def render_rays_hat(params, batch, settings: RenderSettings, key=None,
     for b in range(B):
         frame = _frame_info(batch, b)
         geom_b = {k: v[b] for k, v in batch["geom"].items()}
-        rows = {l: batch[f"hat_rows{l}"][b] for l in (1, 2, 3, 4)}
-        wpts = batch["hat_pts"][b]                    # [ngrp, P, 3]
-        vdir = batch["hat_vdir"][b]
+        rows = {l: batch[f"hat_rows{l}"][b].astype(jnp.int32)
+                for l in (1, 2, 3, 4)}
+        # sorted group points/dirs from the compact plan (see docstring)
+        z = batch["z_vals"][b]                                    # [R, S]
+        pts = (batch["ray_o"][b][:, None, :]
+               + batch["ray_d"][b][:, None, :] * z[..., None])
+        srt = batch["hat_sort"][b].astype(jnp.int32)              # [ngrp*P]
+        ngrp = rows[1].shape[0]
+        P = srt.shape[0] // ngrp
+        wpts = pts.reshape(-1, 3)[srt].reshape(ngrp, P, 3)
+        vd = batch["ray_d"][b]
+        vd = vd / jnp.maximum(
+            jnp.linalg.norm(vd, axis=-1, keepdims=True), 1e-8)
+        vdir = vd[srt // n_samples].reshape(ngrp, P, 3)
 
         ppts = lx.pts_to_can_pts(wpts, frame["R"], frame["Th"])
         dhw = lx.get_dhw_vox(ppts, frame["bounds"], s.voxel_size)
@@ -169,7 +184,7 @@ def render_rays(params, batch, settings: RenderSettings, key=None,
       weights [B,R,S].
     """
     s = settings
-    if "hat_pts" in batch:
+    if "hat_sort" in batch:
         return render_rays_hat(params, batch, settings, key=key, train=train)
     ray_o, ray_d = batch["ray_o"], batch["ray_d"]
     B, R = ray_o.shape[:2]

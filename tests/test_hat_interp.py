@@ -49,8 +49,10 @@ def test_hat_level_matches_site_interp(scene):
     ivols = sparse_conv_net.index_volumes(geom, ms.encoder)
 
     geom0 = {k: v[0] for k, v in geom.items()}
-    rows = {l: batch[f"hat_rows{l}"][0] for l in (1, 2, 3, 4)}
-    wpts = batch["hat_pts"][0]
+    rows = {l: batch[f"hat_rows{l}"][0].astype(jnp.int32)
+            for l in (1, 2, 3, 4)}
+    wpts = jnp.asarray(
+        hat_interp.sorted_pts_np(batch_np, 0, N_SAMPLES)[0])
     frame = {"R": batch["R"][0], "Th": batch["Th"][0],
              "bounds": batch["bounds"][0]}
     ppts = latent_xyzc.pts_to_can_pts(wpts, frame["R"], frame["Th"])
@@ -82,8 +84,10 @@ def test_hat_3d_tiles_match_site_interp(scene):
         params, geom, ms, densify=False)
     ivols = sparse_conv_net.index_volumes(geom, ms.encoder)
     geom0 = {k: v[0] for k, v in geom.items()}
-    rows = {l: batch[f"hat_rows{l}"][0] for l in (1, 2, 3, 4)}
-    wpts = batch["hat_pts"][0]
+    rows = {l: batch[f"hat_rows{l}"][0].astype(jnp.int32)
+            for l in (1, 2, 3, 4)}
+    wpts = jnp.asarray(
+        hat_interp.sorted_pts_np(batch_np, 0, N_SAMPLES)[0])
     frame = {"R": batch["R"][0], "Th": batch["Th"][0],
              "bounds": batch["bounds"][0]}
     ppts = latent_xyzc.pts_to_can_pts(wpts, frame["R"], frame["Th"])
@@ -141,9 +145,9 @@ def test_hat_rows_cover_all_corners(scene):
     batch_np, _, static, ms, params = scene
     out_sh = static["out_sh"]
     geom0 = {k: v[0] for k, v in batch_np["geom"].items()}
-    P = batch_np["hat_pts"].shape[2]
-
-    wpts = batch_np["hat_pts"][0].reshape(-1, 3)
+    wpts_g, _ = hat_interp.sorted_pts_np(batch_np, 0, N_SAMPLES)
+    P = wpts_g.shape[1]
+    wpts = wpts_g.reshape(-1, 3)
     Rm, Th = batch_np["R"][0], batch_np["Th"][0].reshape(1, 3)
     ppts = (wpts - Th) @ Rm
     rev = [2, 1, 0]

@@ -140,9 +140,17 @@ int plan_hat_groups(
                    float((double(Wl) - 1.0) / double(out_sh[2]))};
     const int64_t ns = nsite[li];
     const int32_t* st = sites[li];
-    std::vector<int64_t> key(ns);
-    for (int64_t r = 0; r < ns; ++r)
-      key[r] = ((int64_t)st[3 * r] * Hl + st[3 * r + 1]) * Wl + st[3 * r + 2];
+    // (d, h)-bucket prefix index + per-site w keys: segments become tiny
+    // binary searches inside one bucket instead of lower_bound over the
+    // whole level table (3D tiles emit (d-range x h-range) segments per
+    // group; the global searches dominated the plan at ~8 ms/batch)
+    std::vector<int64_t> dh_off((size_t)(Dl * Hl + 1), 0);
+    std::vector<int32_t> wkey(ns);
+    for (int64_t r = 0; r < ns; ++r) {
+      dh_off[(size_t)((int64_t)st[3 * r] * Hl + st[3 * r + 1]) + 1]++;
+      wkey[r] = st[3 * r + 2];
+    }
+    for (size_t t = 1; t < dh_off.size(); ++t) dh_off[t] += dh_off[t - 1];
 
     const int32_t cap = rows_caps[li];
     const int32_t sent = site_caps_lvl[li];
@@ -168,22 +176,22 @@ int plan_hat_groups(
       for (int64_t d = c_lo[0]; d <= c_hi[0]; ++d) {
         if (tiles3d) {
           for (int64_t h = c_lo[1]; h <= c_hi[1]; ++h) {
-            const int64_t base = (d * Hl + h) * Wl;
-            const int64_t qa = base + c_lo[2], qb = base + c_hi[2] + 1;
-            const int64_t a = std::lower_bound(key.begin(), key.end(), qa) -
-                              key.begin();
-            const int64_t b = std::lower_bound(key.begin(), key.end(), qb) -
-                              key.begin();
+            const int64_t dh = d * Hl + h;
+            const int64_t ba = dh_off[dh], bb = dh_off[dh + 1];
+            const int64_t a =
+                std::lower_bound(wkey.begin() + ba, wkey.begin() + bb,
+                                 (int32_t)c_lo[2]) - wkey.begin();
+            const int64_t b =
+                std::lower_bound(wkey.begin() + ba, wkey.begin() + bb,
+                                 (int32_t)(c_hi[2] + 1)) - wkey.begin();
             if (n_out + (b - a) > cap) { *err_lvl = lvl; return 2; }
             for (int64_t r = a; r < b; ++r) row_g[n_out++] = (int32_t)r;
           }
         } else {
-          const int64_t qa = (d * Hl + c_lo[1]) * Wl;
-          const int64_t qb = (d * Hl + c_hi[1] + 1) * Wl;
-          const int64_t a = std::lower_bound(key.begin(), key.end(), qa) -
-                            key.begin();
-          const int64_t b = std::lower_bound(key.begin(), key.end(), qb) -
-                            key.begin();
+          // all-w stripe: contiguous run between the (d, h_lo) bucket
+          // start and the (d, h_hi) bucket end
+          const int64_t a = dh_off[d * Hl + c_lo[1]];
+          const int64_t b = dh_off[d * Hl + c_hi[1] + 1];
           if (n_out + (b - a) > cap) { *err_lvl = lvl; return 2; }
           for (int64_t r = a; r < b; ++r) row_g[n_out++] = (int32_t)r;
         }

@@ -95,10 +95,45 @@ def get_near_far(bounds, ray_o, ray_d):
     return near[hit] / norm_d[hit, 0], far[hit] / norm_d[hit, 0], hit
 
 
+def build_ray_pools(msk, K, R, T, bounds, H, W, face_label=13,
+                    body_nonzero=False, exclude_boundary=True):
+    """Precompute the body/face/random pixel pools for sample_rays_train.
+
+    The pools depend only on (mask, camera, bounds) — all static per
+    (frame, cam) across epochs — while argwhere over a 512^2 mask costs
+    ~2.5 ms/sample on this host. Stored as raveled int32 indices (4 bytes
+    per candidate pixel)."""
+    pose = np.concatenate([R, T.reshape(3, 1)], axis=1)
+    bound_mask = get_bound_2d_mask(bounds, K, pose, H, W)
+    msk = msk * bound_mask
+    if exclude_boundary:
+        bound_mask = bound_mask.copy()
+        bound_mask[msk == 100] = 0
+    body = (msk != 0) if body_nonzero else (msk == 1)
+    return {
+        "body": np.flatnonzero(body.ravel()).astype(np.int32),
+        "face": np.flatnonzero((msk == face_label).ravel()).astype(np.int32),
+        "rand": np.flatnonzero((bound_mask == 1).ravel()).astype(np.int32),
+    }
+
+
+class PoolCache(dict):
+    """FIFO-bounded dict for ray pools (~0.4 MB/entry at 512^2)."""
+
+    def __init__(self, cap=512):
+        super().__init__()
+        self.cap = cap
+
+    def __setitem__(self, k, v):
+        if len(self) >= self.cap:
+            del self[next(iter(self))]
+        super().__setitem__(k, v)
+
+
 def sample_rays_train(img, msk, K, R, T, bounds, nrays,
                       body_ratio=0.5, face_ratio=0.0, face_label=13,
                       body_nonzero=False, exclude_boundary=True,
-                      rng=None):
+                      rng=None, cache=None, cache_key=None):
     """Sample exactly `nrays` training rays hitting the body AABB.
 
     Reproduces the reference strategy (ref: if_nerf_data_utils.py:153-232,
@@ -108,21 +143,26 @@ def sample_rays_train(img, msk, K, R, T, bounds, nrays,
 
     body_nonzero=True samples the body from msk!=0 (ref sample_ray:99);
     False samples from msk==1 (ref sample_ray_h36m:181).
+
+    cache/cache_key: optional dict + hashable key memoizing the pixel
+    pools per (frame, cam, H, W) — bit-identical sampling, ~3 ms/sample
+    cheaper. The caller owns key correctness (mask and camera must be
+    static for a given key).
     """
     rng = rng or np.random
     H, W = img.shape[:2]
     ray_o_full, ray_d_full = get_rays(H, W, K, R, T)
-    pose = np.concatenate([R, T.reshape(3, 1)], axis=1)
-    bound_mask = get_bound_2d_mask(bounds, K, pose, H, W)
 
-    msk = msk * bound_mask
-    if exclude_boundary:
-        bound_mask = bound_mask.copy()
-        bound_mask[msk == 100] = 0
-
-    body_pool = np.argwhere(msk != 0) if body_nonzero else np.argwhere(msk == 1)
-    face_pool = np.argwhere(msk == face_label)
-    rand_pool = np.argwhere(bound_mask == 1)
+    pools = cache.get(cache_key) if cache is not None else None
+    if pools is None:
+        pools = build_ray_pools(msk, K, R, T, bounds, H, W,
+                                face_label=face_label,
+                                body_nonzero=body_nonzero,
+                                exclude_boundary=exclude_boundary)
+        if cache is not None:
+            cache[cache_key] = pools
+    body_pool, face_pool, rand_pool = (pools["body"], pools["face"],
+                                       pools["rand"])
 
     outs = {k: [] for k in ("rgb", "ray_o", "ray_d", "near", "far", "coord")}
     n_got = 0
@@ -136,7 +176,8 @@ def sample_rays_train(img, msk, K, R, T, bounds, nrays,
             picks.insert(0, body_pool[rng.randint(0, len(body_pool), n_body)])
         if len(face_pool) > 0 and n_face > 0:
             picks.insert(-1, face_pool[rng.randint(0, len(face_pool), n_face)])
-        coord = np.concatenate(picks, axis=0)
+        flat = np.concatenate(picks, axis=0).astype(np.int64)
+        coord = np.stack([flat // W, flat % W], axis=1)
 
         ro = ray_o_full[coord[:, 0], coord[:, 1]]
         rd = ray_d_full[coord[:, 0], coord[:, 1]]

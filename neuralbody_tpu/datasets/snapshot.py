@@ -98,12 +98,16 @@ class MonocularDataset:
         K[:2] = K[:2] * cfg.ratio
 
         if self.split == "train":
+            if not hasattr(self, "_pools"):
+                self._pools = ray_utils.PoolCache()
             rgb, ray_o, ray_d, near, far, coord_, mask_at_box = \
                 ray_utils.sample_rays_train(
                     img, msk, K, R, T, payload["can_bounds"], self.nrays,
                     body_ratio=cfg.body_sample_ratio,
                     face_ratio=cfg.face_sample_ratio,
-                    body_nonzero=True, exclude_boundary=False)
+                    body_nonzero=True, exclude_boundary=False,
+                    cache=self._pools,
+                    cache_key=(index, img.shape[0], img.shape[1]))
         else:
             rgb, ray_o, ray_d, near, far, coord_, mask_at_box = \
                 ray_utils.sample_rays_test(

@@ -146,10 +146,13 @@ class SyntheticDataset:
             cv2.IMREAD_COLOR).astype(np.float32) / 255.0
         msk = np.unpackbits(self._msks[(i, c)])[:H * W].reshape(H, W)
         R, T = self.cams[c]
+        if not hasattr(self, "_pools"):
+            self._pools = ray_utils.PoolCache()
         rgb, ray_o, ray_d, near, far, _, mask_at_box = \
             ray_utils.sample_rays_train(
                 img, msk, self.K, R, T / 1.0, f["can_bounds"],
-                self.n_rand, body_ratio=0.5, face_ratio=0.0)
+                self.n_rand, body_ratio=0.5, face_ratio=0.0,
+                cache=self._pools, cache_key=(i, c))
         return {
             "geom": f["geom"],
             "geom_key": np.int32(i),

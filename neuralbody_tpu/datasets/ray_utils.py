@@ -125,7 +125,9 @@ class PoolCache(dict):
         self.cap = cap
 
     def __setitem__(self, k, v):
-        if len(self) >= self.cap:
+        # evict only when inserting a NEW key: re-setting a live entry at
+        # capacity must not drop an unrelated one
+        if k not in self and len(self) >= self.cap:
             del self[next(iter(self))]
         super().__setitem__(k, v)
 

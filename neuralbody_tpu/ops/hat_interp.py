@@ -42,11 +42,21 @@ _NATIVE = None
 
 def _native_ok():
     """The C++ planner builds lazily on first use; any failure (no g++,
-    read-only checkout) permanently falls back to numpy."""
+    read-only checkout) permanently falls back to numpy. The fallback is a
+    large host-side perf regression (~40 ms/batch vs ~3), so it warns once
+    with the underlying exception rather than degrading invisibly."""
     global _NATIVE
     if _NATIVE is None:
         from . import hat_planner_native
-        _NATIVE = hat_planner_native.available()
+        try:
+            hat_planner_native._load()
+            _NATIVE = True
+        except Exception as e:  # noqa: BLE001 — any load failure degrades
+            import warnings
+            warnings.warn(
+                f"native hat planner unavailable ({e!r}); falling back to "
+                "the ~10x slower numpy planner for this process")
+            _NATIVE = False
     return _NATIVE
 
 

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 import threading
 
 import numpy as np
@@ -24,23 +23,13 @@ _SO = os.path.join(os.path.dirname(__file__), "..", "..", "native",
                    "libiso_surface.so")
 
 
-def _build():
-    subprocess.run(
-        ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-         os.path.abspath(_SRC), "-o", os.path.abspath(_SO)],
-        check=True, capture_output=True,
-    )
-
-
 def _load():
+    from .native_build import build_and_load
     global _LIB
     with _LOCK:
         if _LIB is not None:
             return _LIB
-        if not os.path.exists(_SO) or (
-                os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-            _build()
-        lib = ctypes.CDLL(os.path.abspath(_SO))
+        lib = build_and_load(_SRC, _SO)
         lib.extract_iso_surface.restype = ctypes.c_int
         lib.extract_iso_surface.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,

@@ -117,6 +117,10 @@ def default_cfg() -> CfgNode:
     cfg.grad_clip_value = 40.0   # ref: lib/train/trainers/trainer.py:52
     cfg.resume = True
     cfg.fix_random = False
+    # one seed for all three RNG domains: numpy host sampling (when
+    # fix_random), the jax param-init key, and the per-epoch/batch seed
+    # chains (the reference's fix_random seeds torch only, train_net.py:12-15)
+    cfg.seed = 0
 
     # ---- test -----------------------------------------------------------
     cfg.test = CfgNode()

@@ -436,8 +436,9 @@ def make_data_loader(cfg, split, dataset=None, epoch=0, num_hosts=1,
         chunk = cfg.tpu.chunk_rays
         bs = cfg.test.batch_size
 
-    # per-host data sharding must also decorrelate the batch RNG streams
-    seed0 = host_id * 900001 if host_mode else 0
+    # per-host data sharding must also decorrelate the batch RNG streams;
+    # cfg.seed folds into every batch seed (reproducibility-by-config)
+    seed0 = (host_id * 900001 if host_mode else 0) + int(cfg.get("seed", 0))
     return DataLoader(dataset, idx, chunk, batch_size=bs, hat_cfg=hat_cfg,
                       hat_state=hat_state, epoch=epoch, seed0=seed0,
                       pool=pool, attach_geom=attach_geom,

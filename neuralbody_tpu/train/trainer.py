@@ -42,7 +42,8 @@ class Trainer:
         self.loss_fn = build("trainer", cfg.trainer_module, cfg)
 
         init_fn, self.model = build("network", cfg.network_module, cfg)
-        self.params, self.bn_stats = init_fn(jax.random.PRNGKey(0))
+        self.params, self.bn_stats = init_fn(
+            jax.random.PRNGKey(int(cfg.get("seed", 0))))
 
         self.tx, self.lr_schedule = make_optimizer(cfg)
         self.opt_state = self.tx.init(self.params)
@@ -69,6 +70,9 @@ class Trainer:
 
         self.recorder = Recorder(cfg, self.is_primary)
         self.evaluator = build("evaluator", cfg.evaluator_module, cfg)
+        # eval state persists across validate() calls (compile-once)
+        self._eval = None
+        self._test_dataset = None
 
     # -- checkpoint -------------------------------------------------------
     def resume(self):
@@ -112,7 +116,8 @@ class Trainer:
         loader = self._make_loader(epoch)
         n_iter = len(loader)
         timer = Timer()
-        key = jax.random.PRNGKey(epoch * 100003)
+        key = jax.random.PRNGKey(
+            epoch * 100003 + int(self.cfg.get("seed", 0)))
 
         G = max(1, int(cfg.tpu.get("steps_per_dispatch", 4)))
         pending = []
@@ -239,11 +244,19 @@ class Trainer:
     # -- eval -------------------------------------------------------------
     def validate(self):
         """Whole-image evaluation with rays sharded over the mesh (the
-        reference evaluates on one GPU; if_clight_renderer.py:106-117)."""
+        reference evaluates on one GPU; if_clight_renderer.py:106-117).
+
+        Eval state (ShardedEval's per-ray-count compile cache and the test
+        dataset) persists across validate() calls: a 400-epoch run with
+        eval_ep=100 compiles the eval step once per padded ray count, not
+        once per validation epoch (tests/test_harness.py)."""
         cfg = self.cfg
-        from ..parallel.train import ShardedEval
-        loader = make_data_loader(cfg, "test")
-        eval_fn = ShardedEval(self.mesh, self.settings)
+        if self._eval is None:
+            from ..parallel.train import ShardedEval
+            self._eval = ShardedEval(self.mesh, self.settings)
+            self._test_dataset = make_dataset(cfg, "test")
+        loader = make_data_loader(cfg, "test", dataset=self._test_dataset)
+        eval_fn = self._eval
         for device_batch, meta in loader:
             ret = eval_fn(self.params, device_batch)
             if self.is_primary:

@@ -62,6 +62,24 @@ class TestTrainer:
         comp = os.path.join(cfg.result_dir, "comparison")
         assert len(os.listdir(comp)) > 0
 
+        # eval state persists across validate() calls: a second validation
+        # must trigger ZERO new eval-step compiles (the per-ray-count cache
+        # in ShardedEval is hoisted out of validate; VERDICT r3 #5)
+        import neuralbody_tpu.parallel.train as ptrain
+        calls = {"n": 0}
+        orig = ptrain.make_sharded_eval_step
+
+        def counting(*a, **kw):
+            calls["n"] += 1
+            return orig(*a, **kw)
+
+        ptrain.make_sharded_eval_step = counting
+        try:
+            trainer.validate()
+        finally:
+            ptrain.make_sharded_eval_step = orig
+        assert calls["n"] == 0
+
     def test_resume_continues_epoch(self, cfg):
         from neuralbody_tpu.train.trainer import Trainer
 

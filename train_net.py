@@ -14,8 +14,12 @@ def main():
 
     import jax
     if cfg.fix_random:
+        # cfg.seed governs all RNG domains (ref: train_net.py:12-15 seeds
+        # torch only); the loader's per-batch reseeding and the trainer's
+        # key chains fold in the same seed (datasets/loader.py:_batch_seed,
+        # train/trainer.py)
         import numpy as np
-        np.random.seed(0)
+        np.random.seed(cfg.seed)
 
     from neuralbody_tpu.train.trainer import Trainer
     trainer = Trainer(cfg)

@@ -142,6 +142,9 @@ def default_cfg() -> CfgNode:
     cfg.vis_novel_view = False
     cfg.vis_rotate_smpl = False
     cfg.vis_mesh = False
+    # also export the thresholded-occupancy debug mesh next to each .ply
+    # (ref: lib/visualizers/if_nerf_mesh.py:13-24 voxel view)
+    cfg.vis_voxel_debug = False
     cfg.eval_whole_img = False
 
     # ---- dirs -----------------------------------------------------------

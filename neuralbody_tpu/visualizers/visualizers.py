@@ -122,10 +122,33 @@ class TestLayoutVisualizer:
 
 @register("visualizer", "if_nerf_mesh")
 class MeshVisualizer:
-    """Export extracted mesh as .ply (ref: lib/visualizers/if_nerf_mesh.py)."""
+    """Export extracted mesh as .ply (ref: lib/visualizers/if_nerf_mesh.py).
+
+    With cfg.vis_voxel_debug, also exports the reference's voxel debug view
+    (ref if_nerf_mesh.py:13-24): threshold the density cube at mesh_th and
+    emit the exposed-face quad mesh of the occupancy grid — saved as
+    {frame}_voxel.ply rather than opened in a window."""
 
     def __init__(self, cfg):
         self.cfg = cfg
+
+    def visualize_voxel(self, output, device_batch, meta):
+        from ..utils.voxel_grid import VoxelGrid
+        cube = np.array(output["cube"])
+        cube = cube[10:-10, 10:-10, 10:-10]   # strip the mcubes pad
+        occ = cube > float(self.cfg.mesh_th)
+        sh = occ.shape
+        square = np.zeros((max(sh),) * 3, bool)
+        square[:sh[0], :sh[1], :sh[2]] = occ
+        vertices, quads = VoxelGrid(square).to_mesh()
+        # split quads into triangles for the .ply sink
+        tris = np.concatenate([quads[:, [0, 1, 2]], quads[:, [0, 2, 3]]])
+        mesh_dir = os.path.join(self.cfg.result_dir, "mesh")
+        os.makedirs(mesh_dir, exist_ok=True)
+        i = int(meta.get("frame_index", 0))
+        path = os.path.join(mesh_dir, f"{i:04d}_voxel.ply")
+        save_ply(path, vertices, tris)
+        return path
 
     def visualize(self, output, device_batch, meta):
         mesh_dir = os.path.join(self.cfg.result_dir, "mesh")
@@ -133,3 +156,5 @@ class MeshVisualizer:
         i = int(meta.get("frame_index", 0))
         save_ply(os.path.join(mesh_dir, f"{i:04d}.ply"),
                  output["vertices"], output.get("triangles"))
+        if self.cfg.get("vis_voxel_debug", False):
+            self.visualize_voxel(output, device_batch, meta)

@@ -49,6 +49,28 @@ def _frame_info(batch, b):
     }
 
 
+_ELEM_KEYS = ("ray_o", "ray_d", "near", "far", "Th", "bounds",
+              "latent_index", "z_vals", "hat_sort", "hat_perm",
+              "hat_rows1", "hat_rows2", "hat_rows3", "hat_rows4",
+              "Ks", "RT", "msks", "R0_snap", "Th0_snap", "K")
+
+
+def _batch_elems(batch):
+    """Per-element view of the batched render inputs (leading axis B).
+
+    The render paths vmap a single-element function over this tree — under
+    mode="batch" (frames sharded over devices) that keeps every op batched
+    on the sharded axis, so GSPMD partitions the whole render instead of
+    resharding per-element slices (a Python b-loop would serialize all
+    frames onto every device)."""
+    elems = {k: batch[k] for k in _ELEM_KEYS if k in batch}
+    elems["geom"] = batch["geom"]
+    B = batch["ray_o"].shape[0]
+    elems["R"] = (batch["R"] if batch["R"].ndim == 3
+                  else jnp.broadcast_to(batch["R"], (B, 3, 3)))
+    return elems
+
+
 def hull_inside_mask(wpts, Ks, RT, msks, img_hw):
     """Project points into source views; inside = in every mask.
 
@@ -113,29 +135,28 @@ def render_rays_hat(params, batch, settings: RenderSettings, key=None,
 
     B, R = batch["ray_o"].shape[:2]
     n_samples = batch["z_vals"].shape[-1]   # the host planner is authoritative
-    rets = []
-    for b in range(B):
-        frame = _frame_info(batch, b)
-        geom_b = {k: v[b] for k, v in batch["geom"].items()}
-        rows = {l: batch[f"hat_rows{l}"][b].astype(jnp.int32)
+
+    def render_elem(elem, feats):
+        frame = {"R": elem["R"], "Th": elem["Th"], "bounds": elem["bounds"],
+                 "latent_index": elem["latent_index"]}
+        rows = {l: elem[f"hat_rows{l}"].astype(jnp.int32)
                 for l in (1, 2, 3, 4)}
         # sorted group points/dirs from the compact plan (see docstring)
-        z = batch["z_vals"][b]                                    # [R, S]
-        pts = (batch["ray_o"][b][:, None, :]
-               + batch["ray_d"][b][:, None, :] * z[..., None])
-        srt = batch["hat_sort"][b].astype(jnp.int32)              # [ngrp*P]
+        z = elem["z_vals"]                                        # [R, S]
+        pts = (elem["ray_o"][:, None, :]
+               + elem["ray_d"][:, None, :] * z[..., None])
+        srt = elem["hat_sort"].astype(jnp.int32)                  # [ngrp*P]
         ngrp = rows[1].shape[0]
         P = srt.shape[0] // ngrp
         wpts = pts.reshape(-1, 3)[srt].reshape(ngrp, P, 3)
-        vd = batch["ray_d"][b]
+        vd = elem["ray_d"]
         vd = vd / jnp.maximum(
             jnp.linalg.norm(vd, axis=-1, keepdims=True), 1e-8)
         vdir = vd[srt // n_samples].reshape(ngrp, P, 3)
 
         ppts = lx.pts_to_can_pts(wpts, frame["R"], frame["Th"])
         dhw = lx.get_dhw_vox(ppts, frame["bounds"], s.voxel_size)
-        feat = hat_interpolate(
-            [x[b] for x in site_feats], geom_b, rows, dhw, s.model)
+        feat = hat_interpolate(feats, elem["geom"], rows, dhw, s.model)
         raw = lx.decode_raw(params, feat, wpts, vdir, frame, s.model)
         raw = raw.reshape(-1, 4)
 
@@ -143,24 +164,23 @@ def render_rays_hat(params, batch, settings: RenderSettings, key=None,
             flat_pts = wpts.reshape(-1, 3)
             if s.hull_mode == "snapshot":
                 inside = snapshot_hull_mask(
-                    flat_pts, frame, batch["R0_snap"][b],
-                    batch["Th0_snap"][b], batch["K"][b],
-                    batch["RT"][b][0], batch["msks"][b][0], s.img_hw)
+                    flat_pts, frame, elem["R0_snap"], elem["Th0_snap"],
+                    elem["K"], elem["RT"][0], elem["msks"][0], s.img_hw)
             else:
                 inside = hull_inside_mask(
-                    flat_pts, batch["Ks"][b], batch["RT"][b],
-                    batch["msks"][b], s.img_hw)
+                    flat_pts, elem["Ks"], elem["RT"], elem["msks"], s.img_hw)
             raw = raw * inside[:, None]
 
         # de-sort: ray-layout sample i reads sorted row hat_perm[i]
-        raw = raw[batch["hat_perm"][b]].reshape(R, n_samples, 4)
+        raw = raw[elem["hat_perm"]].reshape(R, n_samples, 4)
         out = raw2outputs(
-            raw, batch["z_vals"][b], batch["ray_d"][b],
+            raw, z, elem["ray_d"],
             s.raw_noise_std if train else 0.0, s.white_bkgd, noise_key=key)
         del out["weights"]
-        rets.append(out)
+        return out
 
-    ret = jax.tree.map(lambda *xs: jnp.stack(xs), *rets)
+    ret = jax.vmap(render_elem, in_axes=(0, 0))(
+        _batch_elems(batch), site_feats)
     return ret, new_stats
 
 
@@ -196,13 +216,22 @@ def render_rays(params, batch, settings: RenderSettings, key=None,
     ivols = (sparse_conv_net.index_volumes(batch["geom"], s.model.encoder)
              if s.site_interp else None)
 
-    def render_batch_elem(b, vols):
-        frame = _frame_info(batch, b)
+    chunk = min(s.chunk_rays, R)
+    if R % chunk != 0:
+        raise ValueError(
+            f"ray count {R} must be a multiple of chunk_rays {chunk}")
+    nc = R // chunk
+    ck = (jax.random.split(key, nc) if key is not None
+          else jnp.zeros((nc, 2), jnp.uint32))
 
-        def render_chunk(chunk):
-            ro, rd, near, far, ck = chunk
+    def render_elem(elem, vols, iv):
+        frame = {"R": elem["R"], "Th": elem["Th"], "bounds": elem["bounds"],
+                 "latent_index": elem["latent_index"]}
+
+        def render_chunk(chunk_in):
+            ro, rd, near, far, k = chunk_in
             pts, z_vals = sample_along_rays(
-                ro, rd, near, far, s.n_samples, key=ck,
+                ro, rd, near, far, s.n_samples, key=k,
                 perturb=(s.perturb and train),
             )
             # padded rays have rd=0; clamp to avoid NaN propagation
@@ -214,58 +243,42 @@ def render_rays(params, batch, settings: RenderSettings, key=None,
 
             raw = latent_xyzc.calculate_density_color(
                 params, wpts, vdir, vols, frame, s.model, s.voxel_size,
-                index_vols=(None if ivols is None
-                            else [v[b] for v in ivols]),
+                index_vols=iv,
             )
 
             if s.hull_views > 0:
                 if s.hull_mode == "snapshot":
                     inside = snapshot_hull_mask(
-                        wpts, frame, batch["R0_snap"][b],
-                        batch["Th0_snap"][b], batch["K"][b],
-                        batch["RT"][b][0], batch["msks"][b][0], s.img_hw)
+                        wpts, frame, elem["R0_snap"], elem["Th0_snap"],
+                        elem["K"], elem["RT"][0], elem["msks"][0], s.img_hw)
                 else:
                     inside = hull_inside_mask(
-                        wpts, batch["Ks"][b], batch["RT"][b],
-                        batch["msks"][b], s.img_hw)
+                        wpts, elem["Ks"], elem["RT"], elem["msks"], s.img_hw)
                 raw = raw * inside[:, None]
 
             raw = raw.reshape(n_ray, s.n_samples, 4)
             out = raw2outputs(
                 raw, z_vals, rd, s.raw_noise_std if train else 0.0,
                 s.white_bkgd,
-                noise_key=ck,
+                noise_key=k,
             )
             del out["weights"]  # [R,S] map is bulky; recompute if needed
             return out
 
-        chunk = min(s.chunk_rays, R)
-        if R % chunk != 0:
-            raise ValueError(
-                f"ray count {R} must be a multiple of chunk_rays {chunk}")
-        nc = R // chunk
-        ck = (jax.random.split(key, nc) if key is not None
-              else jnp.zeros((nc, 2), jnp.uint32))
-
         chunks = (
-            ray_o[b].reshape(nc, chunk, 3),
-            ray_d[b].reshape(nc, chunk, 3),
-            batch["near"][b].reshape(nc, chunk),
-            batch["far"][b].reshape(nc, chunk),
+            elem["ray_o"].reshape(nc, chunk, 3),
+            elem["ray_d"].reshape(nc, chunk, 3),
+            elem["near"].reshape(nc, chunk),
+            elem["far"].reshape(nc, chunk),
             ck,
         )
         if nc == 1:
-            out = render_chunk(jax.tree.map(lambda x: x[0], chunks))
-            return jax.tree.map(lambda x: x[None], out)
-        return jax.lax.map(render_chunk, chunks)
+            return render_chunk(jax.tree.map(lambda x: x[0], chunks))
+        out = jax.lax.map(render_chunk, chunks)
+        return jax.tree.map(lambda x: x.reshape(R, *x.shape[2:]), out)
 
-    rets = []
-    for b in range(B):
-        vols_b = [v[b] for v in volumes]
-        out = render_batch_elem(b, vols_b)
-        rets.append(jax.tree.map(
-            lambda x: x.reshape(R, *x.shape[2:]), out))
-    ret = jax.tree.map(lambda *xs: jnp.stack(xs), *rets)
+    ret = jax.vmap(render_elem, in_axes=(0, 0, 0))(
+        _batch_elems(batch), volumes, ivols)
     return ret, new_stats
 
 

@@ -30,7 +30,8 @@ BASELINE_RAYS_PER_S = 2400.0
 N_RAYS, N_SAMPLES, G = 1024, 64, 8
 
 
-def _setup(out_sh, site_caps, num_train_frame, dtype="bfloat16"):
+def _setup(out_sh, site_caps, num_train_frame, dtype="bfloat16",
+           hat_rows_caps=()):
     import optax
 
     from neuralbody_tpu.models import latent_xyzc
@@ -45,7 +46,8 @@ def _setup(out_sh, site_caps, num_train_frame, dtype="bfloat16"):
                               compute_dtype=dtype))
     settings = RenderSettings(
         model=model_static, voxel_size=(0.005,) * 3,
-        n_samples=N_SAMPLES, chunk_rays=N_RAYS)
+        n_samples=N_SAMPLES, chunk_rays=N_RAYS,
+        hat_rows_caps=tuple(hat_rows_caps))
     params, bn_stats = latent_xyzc.init(
         jax.random.PRNGKey(0), num_train_frame=num_train_frame)
     tx = optax.chain(optax.clip(40.0), optax.adam(5e-4))
@@ -62,7 +64,8 @@ def measure_broadcast():
         hat=True, n_samples=N_SAMPLES)
     batch = jax.tree.map(jnp.asarray, batch_np)
     settings, params, bn_stats, tx = _setup(
-        static["out_sh"], static["site_caps"], num_train_frame=60)
+        static["out_sh"], static["site_caps"], num_train_frame=60,
+        hat_rows_caps=static["hat"]["rows_caps"])
     opt_state = tx.init(params)
 
     batches = jax.tree.map(
@@ -110,7 +113,19 @@ def measure_fresh(num_workers=2, n_disp=12):
     # inside the jitted step — never re-shipped per batch (parallel/geom.py)
     bank = GeomBank(pool.geom_cache, capacity=ds.n_frames)
 
+    def _prep(item):
+        """Stack + host->device transfer of one dispatch group (prefetcher
+        thread — overlaps with the in-flight scan; parallel/transfer.py)."""
+        group, group_keys, subs = item
+        stacked = jax.tree.map(
+            lambda *xs: jnp.asarray(np.stack(xs)), *group,
+            is_leaf=lambda x: not isinstance(x, dict))
+        bank_arrays, stacked["geom_rows"] = bank.rows(group_keys)
+        return stacked, jnp.stack(subs), bank_arrays
+
     def run_epoch(epoch, n_batches, params, bn_stats, opt_state):
+        nonlocal settings
+        from neuralbody_tpu.parallel.transfer import DevicePrefetcher
         idx = [i % len(ds) for i in range(n_batches)]
         loader = DataLoader(ds, idx, chunk_rays=N_RAYS, batch_size=1,
                             hat_cfg=hat_cfg, hat_state=hat_state,
@@ -118,21 +133,34 @@ def measure_fresh(num_workers=2, n_disp=12):
         key = jax.random.PRNGKey(epoch)
         pending, pending_keys = [], []
         stats = None
-        for device, meta in loader:
-            pending.append(device)
-            pending_keys.append(meta["geom_keys"])
-            if len(pending) < G:
-                continue
-            stacked = jax.tree.map(
-                lambda *xs: jnp.asarray(np.stack(xs)), *pending,
-                is_leaf=lambda x: not isinstance(x, dict))
-            bank_arrays, stacked["geom_rows"] = bank.rows(pending_keys)
-            pending.clear()
-            pending_keys.clear()
-            key, *subs = jax.random.split(key, G + 1)
+
+        def dispatch(ready):
+            nonlocal params, bn_stats, opt_state, stats
+            stacked, keys, bank_arrays = ready
             params, bn_stats, opt_state, stats = train_step_scan_banked(
-                params, bn_stats, opt_state, stacked, jnp.stack(subs),
-                bank_arrays, settings, tx)
+                params, bn_stats, opt_state, stacked, keys, bank_arrays,
+                settings, tx)
+
+        prefetch = DevicePrefetcher(_prep, depth=2)
+        try:
+            for device, meta in loader:
+                pending.append(device)
+                pending_keys.append(meta["geom_keys"])
+                if len(pending) < G:
+                    continue
+                if not settings.hat_rows_caps:
+                    # static segment-expansion widths, derived by batch 0
+                    settings = settings._replace(
+                        hat_rows_caps=tuple(hat_state["rows_caps"]))
+                key, *subs = jax.random.split(key, G + 1)
+                prefetch.submit((pending, pending_keys, subs))
+                pending, pending_keys = [], []
+                for ready in prefetch.ready():
+                    dispatch(ready)
+            for ready in prefetch.drain():
+                dispatch(ready)
+        finally:
+            prefetch.close()
         return params, bn_stats, opt_state, stats
 
     try:

@@ -1,12 +1,16 @@
 // Native hat-interpolation planner: the per-batch host hot path.
 //
 // Mirrors neuralbody_tpu/ops/hat_interp.py::plan_hat_groups exactly for the
-// steady-state case (static rows_caps / n_groups known): bucket ray samples
-// into spatial tiles, chunk tiles into fixed-size point groups, and emit
-// per-(level, group) site-row lists whose hat support can touch the group.
-// The vectorized numpy planner costs ~40 ms/batch at the reference working
+// steady-state case (static caps known): bucket ray samples into spatial
+// tiles, chunk tiles into fixed-size point groups, and emit per-(level,
+// group) site-row SEGMENTS — (start, cumulative-length) pairs over the
+// code-sorted site table — whose hat support can touch the group. The
+// vectorized numpy planner costs ~40 ms/batch at the reference working
 // point (1024 rays x 64 samples) on this 2-vCPU host — too slow to feed a
-// ~22 ms/step device; this single pass runs in ~2-4 ms.
+// ~22 ms/step device; this single pass runs in ~2-4 ms. Segments (not
+// expanded row lists) are also what ships to the device: ~6-12x fewer
+// bytes over the production-limiting host->TPU link; the device expands
+// them back (ops/hat_interp.py expand_segments).
 //
 // Contract tested against the numpy planner bit-for-bit in
 // tests/test_hat_planner_native.py. Derive mode (caps unknown) stays in
@@ -23,12 +27,13 @@
 
 extern "C" {
 
-// Returns 0 on success, 1 = group overflow, 2 = rows overflow (level in
-// *err_lvl). All outputs preallocated by the caller:
-//   perm     [n_groups * P] int32
-//   fwd_perm [N]            int32
-//   rows     [4] pointers, rows[li] = [n_groups, rows_caps[li]] int32
-int plan_hat_groups(
+// Returns 0 on success, 1 = group overflow, 2 = total-rows overflow,
+// 3 = segment-count overflow (overflow level in *err_lvl). All outputs
+// preallocated by the caller:
+//   perm    [n_groups * P] int32
+//   seg_a   [4] pointers, seg_a[li]   = [n_groups, seg_caps[li]] int32
+//   seg_cum [4] pointers, seg_cum[li] = [n_groups, seg_caps[li]] int32
+int plan_hat_segments(
     const float* dhw,        // [N, 3] full-res continuous voxel coords
     int64_t N,
     const int32_t* out_sh,   // [3]
@@ -36,12 +41,12 @@ int plan_hat_groups(
     const int32_t* tile,     // [3]; tile[2] == 0 -> 2D tiles
     const int32_t* const* sites,  // [4], each [nsite[li], 3] sorted by code
     const int32_t* nsite,    // [4]
-    const int32_t* site_caps_lvl,  // [4] sentinel per level (= site_caps[l])
-    const int32_t* rows_caps,      // [4]
+    const int32_t* rows_caps,     // [4] total-rows cap (device expansion)
+    const int32_t* seg_caps,      // [4] segment-count cap
     int32_t n_groups,
     int32_t* perm,
-    int32_t* fwd_perm,
-    int32_t* const* rows,
+    int32_t* const* seg_a,
+    int32_t* const* seg_cum,
     int32_t* err_lvl) {
   *err_lvl = -1;
   // ---- level-1 scales and tile ids -----------------------------------
@@ -109,10 +114,6 @@ int plan_hat_groups(
   }
   (void)used;
 
-  // ---- fwd_perm: first occurrence wins --------------------------------
-  const int64_t slots = (int64_t)n_groups * P;
-  for (int64_t j = slots - 1; j >= 0; --j) fwd_perm[perm[j]] = (int32_t)j;
-
   // ---- per-group full-res bbox ----------------------------------------
   std::vector<float> gmin((size_t)n_groups * 3), gmax((size_t)n_groups * 3);
   for (int64_t g = 0; g < n_groups; ++g) {
@@ -152,11 +153,10 @@ int plan_hat_groups(
     }
     for (size_t t = 1; t < dh_off.size(); ++t) dh_off[t] += dh_off[t - 1];
 
-    const int32_t cap = rows_caps[li];
-    const int32_t sent = site_caps_lvl[li];
-    int32_t* out = rows[li];
-    // sentinel-fill once
-    std::fill(out, out + (size_t)n_groups * cap, sent);
+    const int32_t rcap = rows_caps[li];
+    const int32_t scap = seg_caps[li];
+    int32_t* sa = seg_a[li];
+    int32_t* scum = seg_cum[li];
 
     for (int64_t g = 0; g < n_groups; ++g) {
       // floor(min*s), floor(max*s)+1, clipped — float32 mul as numpy does
@@ -171,11 +171,25 @@ int plan_hat_groups(
         c_lo[a] = std::min(std::max(lo[a], (int64_t)0), lim[a] - 1);
         c_hi[a] = std::min(std::max(hi[a], (int64_t)0), lim[a] - 1);
       }
-      int32_t* row_g = out + (size_t)g * cap;
-      int64_t n_out = 0;
-      for (int64_t d = c_lo[0]; d <= c_hi[0]; ++d) {
+      int32_t* sa_g = sa + (size_t)g * scap;
+      int32_t* sc_g = scum + (size_t)g * scap;
+      int64_t n_seg = 0, total = 0;
+      // emit one (start, len) segment per non-empty contiguous run;
+      // cumulative lengths (what the device's binary search wants)
+      auto emit = [&](int64_t a, int64_t b) -> int {
+        if (b <= a) return 0;
+        total += b - a;
+        if (total > rcap) { *err_lvl = lvl; return 2; }
+        if (n_seg >= scap) { *err_lvl = lvl; return 3; }
+        sa_g[n_seg] = (int32_t)a;
+        sc_g[n_seg] = (int32_t)total;
+        ++n_seg;
+        return 0;
+      };
+      int rc2 = 0;
+      for (int64_t d = c_lo[0]; d <= c_hi[0] && !rc2; ++d) {
         if (tiles3d) {
-          for (int64_t h = c_lo[1]; h <= c_hi[1]; ++h) {
+          for (int64_t h = c_lo[1]; h <= c_hi[1] && !rc2; ++h) {
             const int64_t dh = d * Hl + h;
             const int64_t ba = dh_off[dh], bb = dh_off[dh + 1];
             const int64_t a =
@@ -184,17 +198,19 @@ int plan_hat_groups(
             const int64_t b =
                 std::lower_bound(wkey.begin() + ba, wkey.begin() + bb,
                                  (int32_t)(c_hi[2] + 1)) - wkey.begin();
-            if (n_out + (b - a) > cap) { *err_lvl = lvl; return 2; }
-            for (int64_t r = a; r < b; ++r) row_g[n_out++] = (int32_t)r;
+            rc2 = emit(a, b);
           }
         } else {
           // all-w stripe: contiguous run between the (d, h_lo) bucket
           // start and the (d, h_hi) bucket end
-          const int64_t a = dh_off[d * Hl + c_lo[1]];
-          const int64_t b = dh_off[d * Hl + c_hi[1] + 1];
-          if (n_out + (b - a) > cap) { *err_lvl = lvl; return 2; }
-          for (int64_t r = a; r < b; ++r) row_g[n_out++] = (int32_t)r;
+          rc2 = emit(dh_off[d * Hl + c_lo[1]], dh_off[d * Hl + c_hi[1] + 1]);
         }
+      }
+      if (rc2) return rc2;
+      // pad: starts 0, cums repeat the total
+      for (int64_t s2 = n_seg; s2 < scap; ++s2) {
+        sa_g[s2] = 0;
+        sc_g[s2] = (int32_t)total;
       }
     }
   }

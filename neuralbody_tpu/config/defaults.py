@@ -161,7 +161,9 @@ def default_cfg() -> CfgNode:
     # static dense grid shape (dhw); -1 = max over frames, padded to 32
     cfg.tpu.static_out_sh = [-1, -1, -1]
     cfg.tpu.chunk_rays = 2048        # rays per render chunk (ref 2048 pixels)
-    cfg.tpu.steps_per_dispatch = 4   # train steps fused per device dispatch
+    # train steps fused per device dispatch; 8 amortizes the ~22 ms tunnel
+    # RTT to <3 ms/step and matches the benchmarked shape (bench.py G=8)
+    cfg.tpu.steps_per_dispatch = 8
     cfg.tpu.mesh_pt_chunk = 2048 * 64  # points per mesh-density chunk
     cfg.tpu.compute_dtype = "float32"
     # training interpolation path: "hat" (grouped hat-matmul, fastest on

@@ -98,7 +98,8 @@ class HatSpec(NamedTuple):
     n_samples: int
     group_size: int
     tile: tuple
-    rows_caps: tuple   # static row caps (None while deriving)
+    rows_caps: tuple   # static total-row caps (None while deriving)
+    seg_caps: tuple    # static segment-count caps (None while deriving)
     n_groups: int      # static group count (None while deriving)
     perturb: bool
 
@@ -116,7 +117,8 @@ def apply_hat_spec(device, spec: HatSpec, seed):
     device, hs = prepare_hat_batch(
         device, spec.out_sh, spec.site_caps, spec.voxel_size,
         spec.n_samples, group_size=spec.group_size, tile=spec.tile,
-        rows_caps=spec.rows_caps, n_groups=spec.n_groups, rng=rng)
+        rows_caps=spec.rows_caps, seg_caps=spec.seg_caps,
+        n_groups=spec.n_groups, rng=rng)
     return device, hs
 
 
@@ -292,6 +294,7 @@ class DataLoader:
             return None
         st = self.hat_state
         return HatSpec(rows_caps=st.get("rows_caps"),
+                       seg_caps=st.get("seg_caps"),
                        n_groups=st.get("n_groups"), **self.hat_cfg)
 
     def _derive_hat_static(self):
@@ -306,6 +309,8 @@ class DataLoader:
                                _batch_seed(self.epoch, 0, self.seed0 + 1))
         self.hat_state["rows_caps"] = tuple(
             -(-int(c * 1.5) // 32) * 32 for c in hs["rows_caps"])
+        self.hat_state["seg_caps"] = tuple(
+            -(-int(c * 1.5) // 8) * 8 for c in hs["seg_caps"])
         self.hat_state["n_groups"] = -(-int(hs["n_groups"] * 1.3) // 8) * 8
         device, _ = apply_hat_spec(
             raw, self._spec(), _batch_seed(self.epoch, 0, self.seed0 + 1))

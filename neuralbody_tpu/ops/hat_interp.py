@@ -24,8 +24,11 @@ batched [P, R] x [R, C] matmul per group — forward AND backward are matmuls
 (the backward scatter shrinks to the per-group row lists, ~30x fewer bytes).
 
 Host side (numpy, runs in the data loader): stratified z sampling, point
-sorting, group row lists, inverse permutation. Device side (JAX): the hat
-contraction. Both sides are pure functions of the batch.
+sorting, per-group row SEGMENTS (start + cumulative length over the
+code-sorted site table — ~6-12x fewer host->TPU bytes than expanded
+lists). Device side (JAX): segment expansion, the de-sort permutation
+(scatter-min over hat_sort), and the hat contraction. Both sides are pure
+functions of the batch.
 """
 from __future__ import annotations
 
@@ -87,15 +90,23 @@ def _level_scale(out_sh, lvl):
 
 def plan_hat_groups(dhw_pts, geom, out_sh, site_caps, group_size=128,
                     tile=(4, 8), rows_caps=None, n_groups=None,
-                    levels=(1, 2, 3, 4)):
+                    seg_caps=None, levels=(1, 2, 3, 4)):
     """Bucket points into spatial tiles, chunk each tile into point groups,
-    and build per-(level, group) site-row lists.
+    and build per-(level, group) site-row SEGMENTS.
 
     Tiles are fixed (d, h) rectangles of level-1 cells; groups never
     straddle a tile, so every group's row list is bounded by the tile
     footprint + 1-cell hat halo regardless of how ray samples cluster
     (count-only grouping lets sparse-region groups span the whole grid and
     blows up the static row caps ~6x).
+
+    The row lists are emitted as (start, cumulative-length) segment pairs,
+    NOT expanded index lists: each group's touched rows are contiguous runs
+    of the code-sorted site table (one run per d-slice for 2D tiles, per
+    (d, h) pair for 3D), so segments compress the dominant host->TPU
+    payload ~6-12x; the device expands them back with a vectorized
+    searchsorted (expand_segments). Expanded lists are recoverable with
+    expand_segments_np (tests).
 
     Args:
       dhw_pts: [N, 3] float32 continuous full-res voxel coords of all ray
@@ -104,25 +115,30 @@ def plan_hat_groups(dhw_pts, geom, out_sh, site_caps, group_size=128,
       out_sh: full-res grid shape (tuple of 3).
       site_caps: per-level static site capacities.
       group_size: points per group (P); tiles are padded to multiples of P
-        with repeats of an in-tile point (never referenced by fwd_perm).
-      tile: (d, h) tile extent in level-1 cells.
-      rows_caps: per-level static row capacities, or None to derive from
-        this batch (max over groups, rounded up to 32).
+        with repeats of an in-tile point (never referenced after de-sort:
+        first occurrence wins).
+      tile: (d, h) or (d, h, w) tile extent in level-1 cells.
+      rows_caps: per-level static TOTAL-row capacities (the device
+        expansion width), or None to derive (max over groups, rounded to 32).
       n_groups: static group count (padded with inert groups), or None to
         use this batch's count.
+      seg_caps: per-level static segment-count capacities, or None to
+        derive (max over groups, rounded to 8).
 
     Returns dict:
-      perm      [n_groups*P]     sorted-point -> original index
-      fwd_perm  [N]              original -> sorted position (de-sort gather)
-      rows{l}   [ngrp, cap_l]    site-row lists, sentinel = site_caps[l]
-      rows_caps, n_groups        the static sizes used
+      perm        [n_groups*P]       sorted-point -> original index
+      seg_a{l}    [ngrp, segcap_l]   segment start rows (padding 0)
+      seg_cum{l}  [ngrp, segcap_l]   inclusive cumulative segment lengths
+                                     (padding repeats the group total)
+      rows_caps, seg_caps, n_groups  the static sizes used
     """
     if (rows_caps is not None and n_groups is not None
-            and tuple(levels) == (1, 2, 3, 4) and _native_ok()):
-        from .hat_planner_native import plan_hat_groups_native
-        plan = plan_hat_groups_native(
+            and seg_caps is not None and tuple(levels) == (1, 2, 3, 4)
+            and _native_ok()):
+        from .hat_planner_native import plan_hat_segments_native
+        plan = plan_hat_segments_native(
             dhw_pts, geom, out_sh, site_caps, group_size, tile,
-            rows_caps, n_groups)
+            rows_caps, seg_caps, n_groups)
         if plan is not None:
             return plan
         # overflow: fall through to numpy for the informative error
@@ -165,12 +181,9 @@ def plan_hat_groups(dhw_pts, geom, out_sh, site_caps, group_size=128,
         raise ValueError(
             f"hat group overflow: batch needs {used_groups} groups but the "
             f"static count is {n_groups}; raise tpu.hat_n_groups")
-    # inert padding groups: repeat point 0, all-sentinel row lists
+    # inert padding groups: repeat point 0, zero-length segment lists
     perm = np.concatenate(
         [perm, np.zeros(((n_groups - used_groups) * P,), np.int32)])
-    # first (real) occurrence of each point wins the de-sort slot
-    fwd_perm = np.empty((N,), np.int32)
-    fwd_perm[perm[::-1]] = np.arange(len(perm) - 1, -1, -1, dtype=np.int32)
 
     ngrp = n_groups
     sorted_dhw = dhw_pts[perm]                       # [ngrp*P, 3]
@@ -181,8 +194,8 @@ def plan_hat_groups(dhw_pts, geom, out_sh, site_caps, group_size=128,
     g_min = grp_dhw.min(axis=1)                      # [ngrp, 3]
     g_max = grp_dhw.max(axis=1)
 
-    out = {"perm": perm, "fwd_perm": fwd_perm}
-    used_caps = []
+    out = {"perm": perm}
+    used_caps, used_seg_caps = [], []
     for li, lvl in enumerate(levels):
         sl = _level_scale(out_sh, lvl)
         sh_l = tuple(s // (2 ** lvl) for s in out_sh)
@@ -238,50 +251,80 @@ def plan_hat_groups(dhw_pts, geom, out_sh, site_caps, group_size=128,
                 f"hat rows overflow at level {lvl}: group needs {need} rows "
                 f"but cap is {cap}; raise tpu.hat_rows_caps for this sequence")
         used_caps.append(cap)
-        sent = site_caps[lvl]
-        rows = np.full((ngrp, cap), sent, np.int32)
-        flat_lens = lens.ravel()
-        total_r = int(flat_lens.sum())
-        if total_r:
-            ar = np.arange(total_r, dtype=np.int64)
-            in_seg = ar - np.repeat(np.cumsum(flat_lens) - flat_lens,
-                                    flat_lens)
-            rows_flat = np.repeat(seg_a.ravel(), flat_lens) + in_seg
-            g_of = np.repeat(np.arange(ngrp * nseg) // nseg, flat_lens)
-            pos_in_g = ar - np.repeat(np.cumsum(gl) - gl, gl)
-            rows[g_of, pos_in_g] = rows_flat.astype(np.int32)
-        out[f"rows{lvl}"] = rows
+
+        # compact the per-group segment lists (drop empties, keep order)
+        nz = lens > 0
+        n_used = nz.sum(axis=1)
+        seg_need = int(n_used.max()) if ngrp else 0
+        scap = (seg_caps[li] if seg_caps is not None
+                else max(4, -(-seg_need // 8) * 8))
+        if seg_need > scap:
+            raise ValueError(
+                f"hat segs overflow at level {lvl}: group needs {seg_need} "
+                f"segments but cap is {scap}; raise the static seg caps")
+        used_seg_caps.append(scap)
+        sa = np.zeros((ngrp, scap), np.int32)
+        sl = np.zeros((ngrp, scap), np.int64)
+        g_idx, s_idx = np.nonzero(nz)
+        pos_in_g = (np.cumsum(nz, axis=1) - 1)[g_idx, s_idx]
+        sa[g_idx, pos_in_g] = seg_a[g_idx, s_idx].astype(np.int32)
+        sl[g_idx, pos_in_g] = lens[g_idx, s_idx]
+        out[f"seg_a{lvl}"] = sa
+        out[f"seg_cum{lvl}"] = np.cumsum(sl, axis=1).astype(np.int32)
     out["rows_caps"] = tuple(used_caps)
+    out["seg_caps"] = tuple(used_seg_caps)
     out["n_groups"] = n_groups
     return out
 
 
+def expand_segments_np(seg_a, seg_cum, cap, sentinel):
+    """Expand (start, cum-length) segments back to padded row lists.
+
+    Numpy mirror of the device-side expand_segments; tests use it to state
+    the segment encoding's contract (bit-equal to the pre-segment planner's
+    expanded rows)."""
+    seg_a = np.asarray(seg_a, np.int64)
+    seg_cum = np.asarray(seg_cum, np.int64)
+    ngrp, S = seg_a.shape
+    j = np.arange(cap, dtype=np.int64)
+    s = (seg_cum[:, None, :] <= j[None, :, None]).sum(-1)    # [ngrp, cap]
+    sc = np.minimum(s, S - 1)
+    prev = np.where(
+        s > 0, np.take_along_axis(seg_cum, np.maximum(s - 1, 0), axis=1), 0)
+    rows = np.take_along_axis(seg_a, sc, axis=1) + (j[None, :] - prev)
+    valid = j[None, :] < seg_cum[:, -1:]
+    return np.where(valid, rows, sentinel).astype(np.int32)
+
+
 def prepare_hat_batch(batch, out_sh, site_caps, voxel_size, n_samples,
                       group_size=128, tile=(4, 8), rows_caps=None,
-                      n_groups=None, rng=None):
+                      n_groups=None, seg_caps=None, rng=None):
     """Augment a numpy batch with host-planned hat-interpolation fields.
 
     Adds (per batch element, stacked):
       z_vals   [B, R, S]        host-sampled depths (rng=None -> perturb off)
       hat_sort [B, ngrp*P]      sorted slot -> original sample index
                                 (uint16 when R*S <= 65536)
-      hat_perm [B, R*S]         de-sort gather indices (ray layout <- sorted)
-      hat_rows{l} [B, ngrp, cap_l]  (uint16 when site_caps[l] fits)
-    The device reconstructs the sorted world points / view dirs from
-    (ray_o, ray_d, z_vals, hat_sort) — shipping them as f32 [ngrp, P, 3]
-    arrays cost 3.8 MB/batch, ~60% of the payload, and the host->TPU link
-    is the production bottleneck (tools/probes/fresh_breakdown.py).
+      hat_seg_a{l}   [B, ngrp, segcap_l]  row-segment starts (uint16)
+      hat_seg_cum{l} [B, ngrp, segcap_l]  inclusive cumulative lengths
+    The device reconstructs everything else: sorted world points / view
+    dirs from (ray_o, ray_d, z_vals, hat_sort), the expanded row lists
+    from the segments (expand_segments), and the de-sort permutation from
+    hat_sort (inverse_perm) — shipping those cost 3.8 MB (points) + 1.05 MB
+    (expanded rows) + 0.26 MB (perm) per batch, and the host->TPU link is
+    the production bottleneck (tools/probes/fresh_breakdown.py).
 
-    Returns (batch, hat_static) where hat_static = {rows_caps, n_groups,
-    group_size, tile} — the static sizes must be reused across steps for a
-    single compile (same pattern as site_caps).
+    Returns (batch, hat_static) where hat_static = {rows_caps, seg_caps,
+    n_groups, group_size, tile} — the static sizes must be reused across
+    steps for a single compile (same pattern as site_caps); rows_caps is
+    also the device expansion width (RenderSettings.hat_rows_caps).
     """
     B, R = batch["ray_o"].shape[:2]
     vs = np.asarray(voxel_size, np.float32)
     rev = [2, 1, 0]
     sort_dt = np.uint16 if R * n_samples <= 65536 else np.int32
 
-    zs, sorts, perms, rows_acc = [], [], [], None
+    zs, sorts, seg_acc = [], [], None
     for b in range(B):
         z = stratified_z_np(batch["near"][b], batch["far"][b], n_samples, rng)
         pts = (batch["ray_o"][b][:, None, :]
@@ -295,20 +338,24 @@ def prepare_hat_batch(batch, out_sh, site_caps, voxel_size, n_samples,
         geom_b = {k: v[b] for k, v in batch["geom"].items()}
         plan = plan_hat_groups(dhw, geom_b, out_sh, site_caps,
                                group_size=group_size, tile=tile,
-                               rows_caps=rows_caps, n_groups=n_groups)
+                               rows_caps=rows_caps, n_groups=n_groups,
+                               seg_caps=seg_caps)
         rows_caps = plan["rows_caps"]
+        seg_caps = plan["seg_caps"]
         n_groups = plan["n_groups"]
 
         zs.append(z)
         sorts.append(plan["perm"].astype(sort_dt, copy=False))
-        perms.append(plan["fwd_perm"])
-        if rows_acc is None:
-            rows_acc = {k: [] for k in plan if k.startswith("rows") and
-                        k != "rows_caps"}
-        for k in rows_acc:
-            lvl = int(k[4:])
-            dt = np.uint16 if site_caps[lvl] <= 65535 else np.int32
-            rows_acc[k].append(plan[k].astype(dt, copy=False))
+        if seg_acc is None:
+            seg_acc = {k: [] for k in plan if k.startswith("seg_")
+                       and k != "seg_caps"}
+        for k in seg_acc:
+            # starts index the site table (< site_caps <= 65535); cums are
+            # bounded by the total-rows cap
+            seg_acc[k].append(plan[k].astype(np.uint16, copy=False)
+                              if max(site_caps) <= 65535
+                              and max(rows_caps) <= 65535
+                              else plan[k])
 
     def _stack(xs):  # copy-free for the B=1 reference recipe
         return np.asarray(xs[0])[None] if len(xs) == 1 else np.stack(xs)
@@ -316,11 +363,11 @@ def prepare_hat_batch(batch, out_sh, site_caps, voxel_size, n_samples,
     batch = dict(batch)
     batch["z_vals"] = _stack(zs).astype(np.float32, copy=False)
     batch["hat_sort"] = _stack(sorts)
-    batch["hat_perm"] = _stack(perms)
-    for k, v in rows_acc.items():
+    for k, v in seg_acc.items():
         batch[f"hat_{k}"] = _stack(v)
-    hat_static = {"rows_caps": rows_caps, "n_groups": n_groups,
-                  "group_size": group_size, "tile": tuple(tile)}
+    hat_static = {"rows_caps": rows_caps, "seg_caps": seg_caps,
+                  "n_groups": n_groups, "group_size": group_size,
+                  "tile": tuple(tile)}
     return batch, hat_static
 
 
@@ -331,7 +378,7 @@ def sorted_pts_np(batch, b, n_samples):
     pts = (batch["ray_o"][b][:, None, :]
            + batch["ray_d"][b][:, None, :] * z[..., None]).reshape(-1, 3)
     srt = np.asarray(batch["hat_sort"][b]).astype(np.int64)
-    ngrp = batch["hat_rows1"].shape[-2]
+    ngrp = batch["hat_seg_a1"].shape[-2]
     P = srt.shape[0] // ngrp
     vd = batch["ray_d"][b] / np.maximum(
         np.linalg.norm(batch["ray_d"][b], axis=-1, keepdims=True), 1e-8)
@@ -342,6 +389,35 @@ def sorted_pts_np(batch, b, n_samples):
 # ---------------------------------------------------------------------------
 # device: the hat contraction (JAX)
 # ---------------------------------------------------------------------------
+
+
+def expand_segments(seg_a, seg_cum, cap, sentinel):
+    """Expand compact (start, cum-length) row segments to [ngrp, cap] lists.
+
+    seg_a/seg_cum: [ngrp, S] int32 (see plan_hat_groups). cap is the static
+    expansion width (rows_caps[l]); slots past a group's total get the
+    sentinel row (zero feature, far-away coord). A vectorized binary search
+    over the non-decreasing seg_cum finds each output slot's segment —
+    O(cap * log S) gathers, ~nothing next to the feature gathers that
+    follow. Bit-equal to the host expansion (expand_segments_np)."""
+    ngrp, S = seg_a.shape
+    j = jnp.arange(cap, dtype=seg_cum.dtype)
+    s = jax.vmap(lambda c: jnp.searchsorted(c, j, side="right"))(seg_cum)
+    sc = jnp.minimum(s, S - 1)
+    prev = jnp.where(
+        s > 0, jnp.take_along_axis(seg_cum, jnp.maximum(s - 1, 0), axis=1), 0)
+    rows = jnp.take_along_axis(seg_a, sc, axis=1) + (j[None, :] - prev)
+    return jnp.where(j[None, :] < seg_cum[:, -1:], rows, sentinel)
+
+
+def inverse_perm(perm, n):
+    """De-sort indices from the sort permutation: inv[i] = first slot j
+    with perm[j] == i (padding slots repeat real points; first-occurrence
+    matches the host planner's convention). One int scatter-min — cheaper
+    than shipping the 256 KB/batch inverse from the host."""
+    slots = perm.shape[0]
+    return jnp.full((n,), slots, jnp.int32).at[perm].min(
+        jnp.arange(slots, dtype=jnp.int32))
 
 
 def hat_interp_level(feats, sites, rows, pos):

@@ -32,13 +32,13 @@ def _load():
         if _LIB is not None:
             return _LIB
         lib = build_and_load(_SRC, _SO)
-        lib.plan_hat_groups.restype = ctypes.c_int
-        lib.plan_hat_groups.argtypes = [
+        lib.plan_hat_segments.restype = ctypes.c_int
+        lib.plan_hat_segments.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
             _I32P, ctypes.c_int32, _I32P,
             ctypes.POINTER(_I32P), _I32P, _I32P, _I32P,
             ctypes.c_int32,
-            _I32P, _I32P, ctypes.POINTER(_I32P), _I32P,
+            _I32P, ctypes.POINTER(_I32P), ctypes.POINTER(_I32P), _I32P,
         ]
         _LIB = lib
         return lib
@@ -52,14 +52,15 @@ def available() -> bool:
         return False
 
 
-def plan_hat_groups_native(dhw_pts, geom, out_sh, site_caps, group_size,
-                           tile, rows_caps, n_groups, levels=(1, 2, 3, 4)):
+def plan_hat_segments_native(dhw_pts, geom, out_sh, site_caps, group_size,
+                             tile, rows_caps, seg_caps, n_groups,
+                             levels=(1, 2, 3, 4)):
     """Drop-in for ops.hat_interp.plan_hat_groups when the static sizes are
     known. Returns the same dict, or None if the native call reports an
     overflow (caller falls back to numpy for its informative error)."""
     lib = _load()
-    assert rows_caps is not None and n_groups is not None
-    assert tuple(levels) == (1, 2, 3, 4)
+    assert rows_caps is not None and seg_caps is not None
+    assert n_groups is not None and tuple(levels) == (1, 2, 3, 4)
     N = dhw_pts.shape[0]
     P = int(group_size)
 
@@ -70,42 +71,45 @@ def plan_hat_groups_native(dhw_pts, geom, out_sh, site_caps, group_size,
 
     site_arrs = []
     nsite = np.empty(4, np.int32)
-    caps_lvl = np.empty(4, np.int32)
     sites_p = (_I32P * 4)()
     for li, lvl in enumerate(levels):
         ns = int(geom[f"nsite{lvl}"])
         s = np.ascontiguousarray(geom[f"sites{lvl}"][:ns], np.int32)
         site_arrs.append(s)  # keep alive
         nsite[li] = ns
-        caps_lvl[li] = site_caps[lvl]
         sites_p[li] = s.ctypes.data_as(_I32P)
 
     rows_caps_a = np.asarray(rows_caps, np.int32)
+    seg_caps_a = np.asarray(seg_caps, np.int32)
     perm = np.empty(n_groups * P, np.int32)
-    fwd_perm = np.empty(N, np.int32)
-    rows_arrs = [np.empty((n_groups, int(rows_caps[li])), np.int32)
-                 for li in range(4)]
-    rows_p = (_I32P * 4)()
+    sa_arrs = [np.empty((n_groups, int(seg_caps[li])), np.int32)
+               for li in range(4)]
+    sc_arrs = [np.empty((n_groups, int(seg_caps[li])), np.int32)
+               for li in range(4)]
+    sa_p, sc_p = (_I32P * 4)(), (_I32P * 4)()
     for li in range(4):
-        rows_p[li] = rows_arrs[li].ctypes.data_as(_I32P)
+        sa_p[li] = sa_arrs[li].ctypes.data_as(_I32P)
+        sc_p[li] = sc_arrs[li].ctypes.data_as(_I32P)
     err_lvl = np.zeros(1, np.int32)
 
-    rc = lib.plan_hat_groups(
+    rc = lib.plan_hat_segments(
         dhw.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         ctypes.c_int64(N),
         out_sh_a.ctypes.data_as(_I32P), ctypes.c_int32(P),
         tile_a.ctypes.data_as(_I32P),
         sites_p, nsite.ctypes.data_as(_I32P),
-        caps_lvl.ctypes.data_as(_I32P),
-        rows_caps_a.ctypes.data_as(_I32P), ctypes.c_int32(int(n_groups)),
-        perm.ctypes.data_as(_I32P), fwd_perm.ctypes.data_as(_I32P),
-        rows_p, err_lvl.ctypes.data_as(_I32P))
+        rows_caps_a.ctypes.data_as(_I32P),
+        seg_caps_a.ctypes.data_as(_I32P), ctypes.c_int32(int(n_groups)),
+        perm.ctypes.data_as(_I32P), sa_p, sc_p,
+        err_lvl.ctypes.data_as(_I32P))
     if rc != 0:
         return None  # overflow: numpy path raises the informative error
 
-    out = {"perm": perm, "fwd_perm": fwd_perm,
+    out = {"perm": perm,
            "rows_caps": tuple(int(c) for c in rows_caps),
+           "seg_caps": tuple(int(c) for c in seg_caps),
            "n_groups": int(n_groups)}
     for li, lvl in enumerate(levels):
-        out[f"rows{lvl}"] = rows_arrs[li]
+        out[f"seg_a{lvl}"] = sa_arrs[li]
+        out[f"seg_cum{lvl}"] = sc_arrs[li]
     return out

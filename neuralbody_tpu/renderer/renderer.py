@@ -38,6 +38,11 @@ class RenderSettings(NamedTuple):
     hull_mode: str = "multi"  # "multi" (mmsk) or "snapshot" (msk)
     img_hw: tuple = (512, 512)
     site_interp: bool = True  # site-feature interpolation (memory-light)
+    # static per-level expansion widths for the hat path's compact row
+    # segments (= the planner's rows_caps; see ops/hat_interp.py). Only
+    # consulted when the batch carries hat fields; the trainer threads the
+    # loader-derived caps in at step-build time (train/trainer.py).
+    hat_rows_caps: tuple = ()
 
 
 def _frame_info(batch, b):
@@ -50,8 +55,9 @@ def _frame_info(batch, b):
 
 
 _ELEM_KEYS = ("ray_o", "ray_d", "near", "far", "Th", "bounds",
-              "latent_index", "z_vals", "hat_sort", "hat_perm",
-              "hat_rows1", "hat_rows2", "hat_rows3", "hat_rows4",
+              "latent_index", "z_vals", "hat_sort",
+              "hat_seg_a1", "hat_seg_a2", "hat_seg_a3", "hat_seg_a4",
+              "hat_seg_cum1", "hat_seg_cum2", "hat_seg_cum3", "hat_seg_cum4",
               "Ks", "RT", "msks", "R0_snap", "Th0_snap", "K")
 
 
@@ -111,18 +117,26 @@ def render_rays_hat(params, batch, settings: RenderSettings, key=None,
     """Training hot path: grouped hat-matmul interpolation.
 
     Requires the host-planned batch fields from
-    ops.hat_interp.prepare_hat_batch (z_vals, hat_sort, hat_perm,
-    hat_rows{1..4}). The sorted world points / view dirs are reconstructed
-    ON DEVICE from (ray_o, ray_d, z_vals, hat_sort): two ~N-row gathers
-    (~1 ms) in exchange for 3.8 MB/batch less host->TPU traffic, the
-    production pipeline's bottleneck (tools/probes/fresh_breakdown.py).
-    Numerically equivalent to the site/dense paths at the same z samples
+    ops.hat_interp.prepare_hat_batch (z_vals, hat_sort, hat_seg_a{1..4},
+    hat_seg_cum{1..4}) plus settings.hat_rows_caps (the static expansion
+    widths). Everything bulky is reconstructed ON DEVICE: sorted world
+    points / view dirs from (ray_o, ray_d, z_vals, hat_sort), expanded row
+    lists from the compact segments, and the de-sort permutation from
+    hat_sort — together ~5 MB/batch less host->TPU traffic, the production
+    pipeline's bottleneck (tools/probes/fresh_breakdown.py). Numerically
+    equivalent to the site/dense paths at the same z samples
     (tests/test_hat_interp.py); z sampling lives on the host here, so `key`
     only feeds the raw-noise term.
     """
     s = settings
     from ..models import latent_xyzc as lx
-    from ..ops.hat_interp import hat_interpolate
+    from ..ops.hat_interp import expand_segments, hat_interpolate, inverse_perm
+
+    if len(s.hat_rows_caps) != 4:
+        raise ValueError(
+            "hat batch needs RenderSettings.hat_rows_caps (the planner's "
+            "rows_caps, e.g. hat_static['rows_caps'] or the loader's "
+            "hat_state['rows_caps'])")
 
     site_feats, new_stats = lx.encode_sparse_voxels(
         params, batch["geom"], s.model, densify=False)
@@ -139,7 +153,10 @@ def render_rays_hat(params, batch, settings: RenderSettings, key=None,
     def render_elem(elem, feats):
         frame = {"R": elem["R"], "Th": elem["Th"], "bounds": elem["bounds"],
                  "latent_index": elem["latent_index"]}
-        rows = {l: elem[f"hat_rows{l}"].astype(jnp.int32)
+        rows = {l: expand_segments(
+                    elem[f"hat_seg_a{l}"].astype(jnp.int32),
+                    elem[f"hat_seg_cum{l}"].astype(jnp.int32),
+                    s.hat_rows_caps[l - 1], s.model.encoder.site_caps[l])
                 for l in (1, 2, 3, 4)}
         # sorted group points/dirs from the compact plan (see docstring)
         z = elem["z_vals"]                                        # [R, S]
@@ -171,8 +188,9 @@ def render_rays_hat(params, batch, settings: RenderSettings, key=None,
                     flat_pts, elem["Ks"], elem["RT"], elem["msks"], s.img_hw)
             raw = raw * inside[:, None]
 
-        # de-sort: ray-layout sample i reads sorted row hat_perm[i]
-        raw = raw[elem["hat_perm"]].reshape(R, n_samples, 4)
+        # de-sort: ray-layout sample i reads its first sorted occurrence
+        # (one int scatter-min; ops/hat_interp.py inverse_perm)
+        raw = raw[inverse_perm(srt, R * n_samples)].reshape(R, n_samples, 4)
         out = raw2outputs(
             raw, z, elem["ray_d"],
             s.raw_noise_std if train else 0.0, s.white_bkgd, noise_key=key)

@@ -123,14 +123,14 @@ class Trainer:
         pending = []
         pending_keys = []
         it = 0
-        flushed_full = False
+        submitted_full = False
 
-        def flush():
-            nonlocal it, flushed_full
-            if not pending:
-                return
-            g = len(pending)
-            banked = pending_keys[0] is not None
+        def _prep(item):
+            """Stack + host->device transfer of one dispatch group — runs
+            on the prefetcher thread, overlapped with the in-flight scan
+            (parallel/transfer.py)."""
+            group, group_keys, subs = item
+            banked = group_keys[0] is not None
             if banked and self._bank is None:
                 from ..parallel.geom import GeomBank
                 ds = self.train_dataset
@@ -138,39 +138,52 @@ class Trainer:
                     2 + -(-len(ds) // max(getattr(ds, "num_cams", 1), 1)))
                 self._bank = GeomBank(self._geom_host_cache, capacity=cap)
             stacked = jax.tree.map(
-                lambda *xs: np.stack(xs), *pending,
+                lambda *xs: np.stack(xs), *group,
                 is_leaf=lambda x: not isinstance(x, dict))
+            bank_arrays = None
             if banked:
                 bank_arrays, stacked["geom_rows"] = self._bank.rows(
-                    pending_keys)
+                    group_keys)
             batches = shard_batch(self.mesh, stacked, stacked=True,
                                   mode=self.data_mode)
-            nonlocal key
-            key, *subs = jax.random.split(key, g + 1)
-            keys = jnp.stack(subs)
+            return batches, jnp.stack(subs), bank_arrays, banked, stacked
+
+        def submit(prefetch):
+            nonlocal key, submitted_full
+            if not pending:
+                return
+            # keys split on the caller's thread: the RNG chain is
+            # deterministic regardless of pipelining
+            key, *subs = jax.random.split(key, len(pending) + 1)
+            prefetch.submit((list(pending), list(pending_keys), subs))
+            if len(pending) == G:
+                submitted_full = True
+            pending.clear()
+            pending_keys.clear()
+
+        def dispatch(ready):
+            nonlocal it
+            batches, keys, bank_arrays, banked, stacked = ready
+            g = keys.shape[0]
             if (g, banked) not in self._steps:
                 one = jax.tree.map(lambda x: x[0], stacked,
                                    is_leaf=lambda x: not isinstance(x, dict))
                 make = (make_sharded_scan_step_banked if banked
                         else make_sharded_scan_step)
                 kw = {} if banked else {"mode": self.data_mode}
+                settings = self.settings
+                if "hat_sort" in stacked:
+                    # static expansion widths for the compact hat-row
+                    # segments, derived by the loader's first batch
+                    settings = settings._replace(
+                        hat_rows_caps=tuple(self.hat_state["rows_caps"]))
                 self._steps[(g, banked)] = make(
-                    self.mesh, self.settings, self.tx, one,
+                    self.mesh, settings, self.tx, one,
                     loss=self.loss_fn, **kw)
-            if banked:
-                (self.params, self.bn_stats, self.opt_state,
-                 stats) = self._steps[(g, banked)](
-                    self.params, self.bn_stats, self.opt_state, batches,
-                    keys, bank_arrays)
-            else:
-                (self.params, self.bn_stats, self.opt_state,
-                 stats) = self._steps[(g, banked)](
-                    self.params, self.bn_stats, self.opt_state, batches,
-                    keys)
-            if g == G:
-                flushed_full = True
-            pending.clear()
-            pending_keys.clear()
+            args = (self.params, self.bn_stats, self.opt_state, batches,
+                    keys) + ((bank_arrays,) if banked else ())
+            (self.params, self.bn_stats, self.opt_state,
+             stats) = self._steps[(g, banked)](*args)
             self.recorder.step += g
             it += g
             self.recorder.batch_time.update(timer.tick() / g)
@@ -184,21 +197,28 @@ class Trainer:
             if it % cfg.record_interval < g:
                 self.recorder.record("train")
 
-        for device_batch, meta in loader:
-            self.recorder.data_time.update(timer.tick())
-            pending.append(device_batch)
-            pending_keys.append(meta.get("geom_keys"))
-            if len(pending) == G:
-                flush()
-        # drop the tail group rather than compile a second scan step for
-        # it (the reference's IterationBasedBatchSampler likewise truncates
-        # mid-epoch, ref samplers.py:50-72) — unless the epoch is shorter
-        # than one group, in which case the tail IS the epoch
-        if not flushed_full:
-            flush()
-        else:
-            pending.clear()
-            pending_keys.clear()
+        from ..parallel.transfer import DevicePrefetcher
+        prefetch = DevicePrefetcher(_prep, depth=2)
+        try:
+            for device_batch, meta in loader:
+                self.recorder.data_time.update(timer.tick())
+                pending.append(device_batch)
+                pending_keys.append(meta.get("geom_keys"))
+                if len(pending) == G:
+                    submit(prefetch)
+                for ready in prefetch.ready():
+                    dispatch(ready)
+            # drop the tail group rather than compile a second scan step
+            # for it (the reference's IterationBasedBatchSampler likewise
+            # truncates mid-epoch, ref samplers.py:50-72) — unless the
+            # epoch is shorter than one group, in which case the tail IS
+            # the epoch
+            if not submitted_full:
+                submit(prefetch)
+            for ready in prefetch.drain():
+                dispatch(ready)
+        finally:
+            prefetch.close()
 
     def fit(self):
         """Epoch loop with preemption-safe checkpointing: SIGTERM/SIGINT

@@ -250,6 +250,7 @@ def make_batch(n_rays=1024, n_verts=6890, voxel_size=0.005, seed=0,
             group_size=hs.get("group_size", 128),
             tile=hs.get("tile", (4, 8)),
             rows_caps=hs.get("rows_caps"),
+            seg_caps=hs.get("seg_caps"),
             n_groups=hs.get("n_groups"),
             rng=np.random.RandomState(seed + 1) if hat_perturb else None)
         static["hat"] = hs

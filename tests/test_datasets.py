@@ -193,6 +193,11 @@ class TestZJUDataset:
         opt = tx.init(params)
         for device_batch, meta in loader:
             batch = jax.tree.map(jnp.asarray, device_batch)
+            if "hat_sort" in batch and not settings.hat_rows_caps:
+                # static expansion widths for the compact hat-row segments,
+                # derived by the loader's first batch (as the Trainer does)
+                settings = settings._replace(
+                    hat_rows_caps=tuple(loader.hat_state["rows_caps"]))
             params, bn, opt, stats = train_step(
                 params, bn, opt, batch, jax.random.PRNGKey(1), settings, tx)
             assert np.isfinite(float(stats["loss"]))

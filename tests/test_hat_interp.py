@@ -39,6 +39,44 @@ def scene():
     return batch_np, base_np, static, ms, params
 
 
+def _expand_rows(batch_np, static, use_device=False):
+    """Expanded per-level row lists from the compact segment payload —
+    via the device expansion (jit) or its numpy mirror."""
+    caps = static["hat"]["rows_caps"]
+    rows = {}
+    for li, l in enumerate((1, 2, 3, 4)):
+        sa = batch_np[f"hat_seg_a{l}"][0].astype(np.int32)
+        sc = batch_np[f"hat_seg_cum{l}"][0].astype(np.int32)
+        sent = static["site_caps"][l]
+        if use_device:
+            rows[l] = jax.jit(hat_interp.expand_segments,
+                              static_argnums=(2, 3))(
+                jnp.asarray(sa), jnp.asarray(sc), caps[li], sent)
+        else:
+            rows[l] = jnp.asarray(
+                hat_interp.expand_segments_np(sa, sc, caps[li], sent))
+    return rows
+
+
+def test_expand_segments_device_matches_numpy(scene):
+    batch_np, _, static, ms, params = scene
+    dev = _expand_rows(batch_np, static, use_device=True)
+    ref = _expand_rows(batch_np, static, use_device=False)
+    for l in (1, 2, 3, 4):
+        np.testing.assert_array_equal(np.asarray(dev[l]), np.asarray(ref[l]))
+
+
+def test_inverse_perm_first_occurrence(scene):
+    batch_np, _, static, ms, params = scene
+    srt = np.asarray(batch_np["hat_sort"][0]).astype(np.int64)
+    n = N_RAYS * N_SAMPLES
+    # numpy reference: reversed assignment -> first occurrence wins
+    ref = np.empty(n, np.int64)
+    ref[srt[::-1]] = np.arange(len(srt) - 1, -1, -1)
+    dev = hat_interp.inverse_perm(jnp.asarray(srt.astype(np.int32)), n)
+    np.testing.assert_array_equal(np.asarray(dev), ref)
+
+
 def test_hat_level_matches_site_interp(scene):
     batch_np, _, static, ms, params = scene
     batch = jax.tree.map(jnp.asarray, batch_np)
@@ -49,8 +87,7 @@ def test_hat_level_matches_site_interp(scene):
     ivols = sparse_conv_net.index_volumes(geom, ms.encoder)
 
     geom0 = {k: v[0] for k, v in geom.items()}
-    rows = {l: batch[f"hat_rows{l}"][0].astype(jnp.int32)
-            for l in (1, 2, 3, 4)}
+    rows = _expand_rows(batch_np, static)
     wpts = jnp.asarray(
         hat_interp.sorted_pts_np(batch_np, 0, N_SAMPLES)[0])
     frame = {"R": batch["R"][0], "Th": batch["Th"][0],
@@ -74,18 +111,19 @@ def test_hat_3d_tiles_match_site_interp(scene):
     """3D (d, h, w) tiles shrink the per-group row lists; the interpolation
     contract must hold unchanged."""
     _, base_np, static, ms, params = scene
-    batch_np, _ = make_batch(
+    batch_np, static3d = make_batch(
         n_rays=N_RAYS, n_verts=512, voxel_size=VOX, seed=3,
         hat=True, n_samples=N_SAMPLES, hat_perturb=False,
         hat_static=dict(group_size=GROUP, tile=(4, 8, 8)))
+    hs3d = static3d["hat"]
     batch = jax.tree.map(jnp.asarray, batch_np)
     geom = batch["geom"]
     site_feats, _ = latent_xyzc.encode_sparse_voxels(
         params, geom, ms, densify=False)
     ivols = sparse_conv_net.index_volumes(geom, ms.encoder)
     geom0 = {k: v[0] for k, v in geom.items()}
-    rows = {l: batch[f"hat_rows{l}"][0].astype(jnp.int32)
-            for l in (1, 2, 3, 4)}
+    rows = _expand_rows(batch_np, {"hat": hs3d, "site_caps":
+                                   static["site_caps"]})
     wpts = jnp.asarray(
         hat_interp.sorted_pts_np(batch_np, 0, N_SAMPLES)[0])
     frame = {"R": batch["R"][0], "Th": batch["Th"][0],
@@ -106,7 +144,8 @@ def test_hat_render_matches_site_render(scene):
     batch_np, base_np, static, ms, params = scene
     s_hat = RenderSettings(model=ms, voxel_size=(VOX,) * 3,
                            n_samples=N_SAMPLES, chunk_rays=N_RAYS,
-                           site_interp=True)
+                           site_interp=True,
+                           hat_rows_caps=static["hat"]["rows_caps"])
     hat_batch = jax.tree.map(jnp.asarray, batch_np)
     base_batch = jax.tree.map(jnp.asarray, base_np)
 
@@ -125,7 +164,8 @@ def test_hat_grad_matches_site_grad(scene):
     batch_np, base_np, static, ms, params = scene
     s = RenderSettings(model=ms, voxel_size=(VOX,) * 3,
                        n_samples=N_SAMPLES, chunk_rays=N_RAYS,
-                       site_interp=True, perturb=False)
+                       site_interp=True, perturb=False,
+                       hat_rows_caps=static["hat"]["rows_caps"])
     hat_batch = jax.tree.map(jnp.asarray, batch_np)
     base_batch = jax.tree.map(jnp.asarray, base_np)
     key = jax.random.PRNGKey(0)
@@ -153,6 +193,7 @@ def test_hat_rows_cover_all_corners(scene):
     rev = [2, 1, 0]
     dhw = (ppts[:, rev] - batch_np["bounds"][0][0][rev]) / VOX
 
+    all_rows = _expand_rows(batch_np, static)
     for lvl in (1, 2, 3, 4):
         sh_l = np.array([s // (2 ** lvl) for s in out_sh])
         scale = (sh_l - 1.0) / np.asarray(out_sh)
@@ -161,7 +202,7 @@ def test_hat_rows_cover_all_corners(scene):
         sites = geom0[f"sites{lvl}"][:ns]
         key_of = {(int(d), int(h), int(w)): i
                   for i, (d, h, w) in enumerate(sites)}
-        rows = batch_np[f"hat_rows{lvl}"][0]
+        rows = np.asarray(all_rows[lvl])
         for g in range(pos.shape[0]):
             rowset = set(rows[g].tolist())
             for p in range(P):

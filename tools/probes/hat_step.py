@@ -11,13 +11,14 @@ t0 = time.perf_counter()
 batch_np, static = make_batch(n_rays=1024, n_verts=6890, voxel_size=0.005,
                               seed=0, hat=True, n_samples=64)
 print(f"host prep (full batch): {time.perf_counter()-t0:.2f}s "
-      f"rows_caps={static['hat_rows_caps']}", flush=True)
+      f"rows_caps={static['hat']['rows_caps']}", flush=True)
 batch = jax.tree.map(jnp.asarray, batch_np)
 ms = ModelStatic(encoder=EncoderStatic(out_sh=static["out_sh"],
                                        site_caps=static["site_caps"]))
 params, bn = latent_xyzc.init(jax.random.PRNGKey(0), num_train_frame=60)
 s = RenderSettings(model=ms, voxel_size=(0.005,) * 3, n_samples=64,
-                   chunk_rays=1024, site_interp=True)
+                   chunk_rays=1024, site_interp=True,
+                   hat_rows_caps=static["hat"]["rows_caps"])
 tx = optax.chain(optax.clip(40.0), optax.adam(5e-4))
 G = 8
 batches = jax.tree.map(lambda x: jnp.broadcast_to(x[None], (G,) + x.shape),

@@ -36,7 +36,8 @@ def main():
             out_sh=static["out_sh"], site_caps=static["site_caps"],
             compute_dtype=dt))
         s = RenderSettings(model=ms, voxel_size=(0.005,) * 3, n_samples=64,
-                           chunk_rays=1024)
+                           chunk_rays=1024,
+                           hat_rows_caps=static["hat"]["rows_caps"])
         params, bn = latent_xyzc.init(jax.random.PRNGKey(0),
                                       num_train_frame=60)
         opt = tx.init(params)

@@ -14,7 +14,8 @@ ms = ModelStatic(encoder=EncoderStatic(out_sh=static["out_sh"],
                                        site_caps=static["site_caps"]))
 params, bn = latent_xyzc.init(jax.random.PRNGKey(0), num_train_frame=60)
 s = RenderSettings(model=ms, voxel_size=(0.005,) * 3, n_samples=64,
-                   chunk_rays=1024)
+                   chunk_rays=1024,
+                   hat_rows_caps=static["hat"]["rows_caps"])
 tx = optax.chain(optax.clip(40.0), optax.adam(5e-4))
 G = 4
 batches = jax.tree.map(lambda x: jnp.broadcast_to(x[None], (G,) + x.shape),

@@ -37,7 +37,8 @@ def main():
         compute_dtype=dtype))
     params, bn = latent_xyzc.init(jax.random.PRNGKey(0), num_train_frame=60)
     s = RenderSettings(model=ms, voxel_size=(0.005,) * 3, n_samples=64,
-                       chunk_rays=1024)
+                       chunk_rays=1024,
+                       hat_rows_caps=static["hat"]["rows_caps"])
     tx = optax.chain(optax.clip(40.0), optax.adam(5e-4))
     opt = tx.init(params)
     G = 8

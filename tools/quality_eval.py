@@ -5,7 +5,7 @@ reference working point (512^2 views, 5mm voxels, 1024 rays x 64 samples),
 then runs the full `run.py --type evaluate` path (sharded whole-image eval,
 ref run.py:41-69) and records per-image latency, XLA compiles triggered
 (proves the power-of-two ray bucketing bounds compiles), and PSNR/SSIM
-into QUALITY_r03.json.
+into QUALITY_r04.json.
 
 Run from anywhere: `python /root/repo/tools/quality_eval.py [--cpu]`.
 NO PYTHONPATH (CLAUDE.md TPU gotcha) — this script inserts the repo root.
@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.join(
 
 def make_cfg(root, workdir, tiny=False):
     from neuralbody_tpu.config import make_cfg
-    cfg = make_cfg(opts=["task", "if_nerf", "exp_name", "quality_r03"])
+    cfg = make_cfg(opts=["task", "if_nerf", "exp_name", "quality_r04"])
     cfg.H = cfg.W = 64 if tiny else 512
     cfg.ratio = 1.0
     cfg.N_rand = 64 if tiny else 1024
@@ -58,8 +58,8 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tiny", action="store_true",
                     help="64^2 smoke run (CPU-friendly; no artifact claim)")
-    ap.add_argument("--out", default="/root/repo/QUALITY_r03.json")
-    ap.add_argument("--workdir", default="/tmp/quality_r03")
+    ap.add_argument("--out", default="/root/repo/QUALITY_r04.json")
+    ap.add_argument("--workdir", default="/tmp/quality_r04")
     args = ap.parse_args()
 
     import jax

@@ -396,17 +396,24 @@ def expand_segments(seg_a, seg_cum, cap, sentinel):
 
     seg_a/seg_cum: [ngrp, S] int32 (see plan_hat_groups). cap is the static
     expansion width (rows_caps[l]); slots past a group's total get the
-    sentinel row (zero feature, far-away coord). A vectorized binary search
-    over the non-decreasing seg_cum finds each output slot's segment —
-    O(cap * log S) gathers, ~nothing next to the feature gathers that
-    follow. Bit-equal to the host expansion (expand_segments_np)."""
+    sentinel row (zero feature, far-away coord).
+
+    S is tiny (<= ~32), so the segment of each output slot is found with a
+    dense compare-and-select over the segment axis — [ngrp, cap, S] VPU
+    compares, NO gathers. (The obvious searchsorted/take_along_axis
+    formulation lowers to per-element scalar gathers on TPU and cost
+    22 ms/step at the reference working point — 8x the whole contraction.)
+    Bit-equal to the host expansion (expand_segments_np)."""
     ngrp, S = seg_a.shape
     j = jnp.arange(cap, dtype=seg_cum.dtype)
-    s = jax.vmap(lambda c: jnp.searchsorted(c, j, side="right"))(seg_cum)
-    sc = jnp.minimum(s, S - 1)
-    prev = jnp.where(
-        s > 0, jnp.take_along_axis(seg_cum, jnp.maximum(s - 1, 0), axis=1), 0)
-    rows = jnp.take_along_axis(seg_a, sc, axis=1) + (j[None, :] - prev)
+    prev = jnp.concatenate(
+        [jnp.zeros_like(seg_cum[:, :1]), seg_cum[:, :-1]], axis=1)
+    # slot j lies in segment k iff prev_k <= j < cum_k; segments are
+    # disjoint half-open runs, so the masked sum selects exactly one
+    in_seg = ((prev[:, None, :] <= j[None, :, None])
+              & (j[None, :, None] < seg_cum[:, None, :]))  # [ngrp, cap, S]
+    row_of = seg_a[:, None, :] + (j[None, :, None] - prev[:, None, :])
+    rows = jnp.sum(jnp.where(in_seg, row_of, 0), axis=-1)
     return jnp.where(j[None, :] < seg_cum[:, -1:], rows, sentinel)
 
 

@@ -1,3 +1,4 @@
+import sys; sys.path.insert(0, "/root/repo")
 import sys, time, jax, jax.numpy as jnp, numpy as np
 import optax
 from neuralbody_tpu.models import latent_xyzc

@@ -40,10 +40,11 @@ def _setup(out_sh, site_caps, num_train_frame, dtype="bfloat16",
     from neuralbody_tpu.renderer.renderer import RenderSettings
 
     # production encoder dtype: bf16 activations, f32 accumulation/BN
-    # (cfg.tpu.compute_dtype; the encoder's gathers are bytes-bound)
+    # (cfg.tpu.compute_dtype; the encoder's gathers are bytes-bound).
+    # use_pallas=False: the fused kernel loses integrated (CLAUDE.md)
     model_static = ModelStatic(
         encoder=EncoderStatic(out_sh=out_sh, site_caps=tuple(site_caps),
-                              compute_dtype=dtype))
+                              compute_dtype=dtype, use_pallas=False))
     settings = RenderSettings(
         model=model_static, voxel_size=(0.005,) * 3,
         n_samples=N_SAMPLES, chunk_rays=N_RAYS,

@@ -173,7 +173,11 @@ def default_cfg() -> CfgNode:
     cfg.tpu.hat_tile = [4, 8]
     cfg.tpu.data_axis = "data"       # mesh axis name for ray/data parallelism
     cfg.tpu.num_devices = -1         # -1 = all visible devices
-    cfg.tpu.use_pallas = True        # enable fused Pallas kernels on TPU
+    # fused Pallas hat-contraction kernel (ops/pallas_hat.py). Off by
+    # default: the kernel alone is ~2x the XLA formulation, but integrated
+    # it loses ~1.5 ms/step to layout transposes XLA inserts around the
+    # custom calls in the backward (measured; CLAUDE.md "Pallas").
+    cfg.tpu.use_pallas = False
     cfg.tpu.cache_frame_geometry = True
 
     cfg.distributed = False

@@ -214,7 +214,8 @@ def make_static(cfg, dataset):
     return ModelStatic(
         encoder=sparse_conv_net.EncoderStatic(
             out_sh=geo.out_sh, site_caps=geo.site_caps,
-            compute_dtype=str(cfg.tpu.compute_dtype)),
+            compute_dtype=str(cfg.tpu.compute_dtype),
+            use_pallas=bool(cfg.tpu.use_pallas)),
         xyz_res=cfg.xyz_res, view_res=cfg.view_res)
 
 

@@ -53,6 +53,10 @@ class EncoderStatic(NamedTuple):
     out_sh: tuple    # (D, H, W), multiples of 32
     site_caps: tuple  # 5 ints
     compute_dtype: str = "float32"
+    # fuse the hat contraction's weight build + matmul in a Pallas kernel
+    # (ops/pallas_hat.py; consulted only on the TPU bf16 hat path —
+    # cfg.tpu.use_pallas)
+    use_pallas: bool = False
 
     def level_sh(self, lvl: int) -> tuple:
         return tuple(s // (2 ** lvl) for s in self.out_sh)

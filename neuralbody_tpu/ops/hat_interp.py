@@ -427,7 +427,7 @@ def inverse_perm(perm, n):
         jnp.arange(slots, dtype=jnp.int32))
 
 
-def hat_interp_level(feats, sites, rows, pos):
+def hat_interp_level(feats, sites, rows, pos, use_pallas=False):
     """One level's interpolation for all groups.
 
     Args:
@@ -439,6 +439,8 @@ def hat_interp_level(feats, sites, rows, pos):
       rows:  [ngrp, capR] row lists (sentinel capS -> zero feature row and
              far-away coord -> hat weight exactly 0).
       pos:   [ngrp, P, 3] level-grid continuous positions.
+      use_pallas: fuse the weight build + contraction in VMEM
+        (ops/pallas_hat.py; TPU + bf16 only — f32/CPU keep the XLA path).
 
     Returns [ngrp, P, C] float32.
     """
@@ -448,6 +450,10 @@ def hat_interp_level(feats, sites, rows, pos):
          jnp.full((1, 3), 1e9, jnp.float32)], axis=0)
     rf = fpad[rows]                                  # [ngrp, capR, C]
     rc = spad[rows]                                  # [ngrp, capR, 3]
+    if (use_pallas and feats.dtype == jnp.bfloat16
+            and jax.default_backend() == "tpu"):
+        from .pallas_hat import hat_contract_fused
+        return hat_contract_fused(rf, rc, pos)
     diff = jnp.abs(pos[:, :, None, :] - rc[:, None, :, :])
     hat = jnp.prod(jnp.maximum(0.0, 1.0 - diff), axis=-1)   # [ngrp, P, capR]
     if feats.dtype == jnp.bfloat16:
@@ -474,10 +480,12 @@ def hat_interpolate(site_feats, geom, rows, dhw_grouped, static):
     """
     outs = []
     out_sh = jnp.asarray(static.out_sh, jnp.float32)
+    use_pallas = bool(getattr(static.encoder, "use_pallas", False))
     for lvl, feats in zip((1, 2, 3, 4), site_feats):
         sh_l = jnp.asarray(
             [s // (2 ** lvl) for s in static.out_sh], jnp.float32)
         pos = dhw_grouped * ((sh_l - 1.0) / out_sh)
         outs.append(
-            hat_interp_level(feats, geom[f"sites{lvl}"], rows[lvl], pos))
+            hat_interp_level(feats, geom[f"sites{lvl}"], rows[lvl], pos,
+                             use_pallas=use_pallas))
     return jnp.concatenate(outs, axis=-1)

@@ -28,13 +28,14 @@ def main():
     from neuralbody_tpu.utils.synthetic import make_batch
 
     dtype = "float32" if "f32" in sys.argv[1:] else "bfloat16"
+    use_pallas = "pallas" in sys.argv[1:]
     batch_np, static = make_batch(n_rays=1024, n_verts=6890,
                                   voxel_size=0.005, seed=0, hat=True,
                                   n_samples=64)
     batch = jax.tree.map(jnp.asarray, batch_np)
     ms = ModelStatic(encoder=EncoderStatic(
         out_sh=static["out_sh"], site_caps=tuple(static["site_caps"]),
-        compute_dtype=dtype))
+        compute_dtype=dtype, use_pallas=use_pallas))
     params, bn = latent_xyzc.init(jax.random.PRNGKey(0), num_train_frame=60)
     s = RenderSettings(model=ms, voxel_size=(0.005,) * 3, n_samples=64,
                        chunk_rays=1024,

@@ -21,11 +21,20 @@ except Exception:  # pragma: no cover
     cv2 = None
 
 
+def _meta_at(meta, key, b, batch):
+    """Per-element meta value: collate keeps a list for B>1, bare for B=1
+    (datasets/loader.py:82)."""
+    v = meta[key]
+    return v[b] if batch > 1 else v
+
+
 @register("evaluator", "if_nerf")
 class Evaluator:
     def __init__(self, cfg):
         self.cfg = cfg
         self.mse, self.psnr, self.ssim = [], [], []
+        # last assembled (pred, gt) pair, for tensorboard image records
+        self.last_images = None
 
     def _assemble(self, rays_rgb, mask_at_box, H, W):
         img = np.zeros((H, W, 3)) + int(self.cfg.white_bkgd)
@@ -33,13 +42,18 @@ class Evaluator:
         return img
 
     def evaluate(self, output, device_batch, meta):
-        cfg = self.cfg
-        n_valid = int(np.asarray(device_batch["ray_mask"][0]).sum())
-        rgb_pred = np.asarray(output["rgb_map"][0])[:n_valid]
-        rgb_gt = np.asarray(device_batch["rgb"][0])[:n_valid]
+        batch = int(np.asarray(device_batch["ray_mask"]).shape[0])
+        for b in range(batch):
+            self._evaluate_one(output, device_batch, meta, b, batch)
 
-        H, W = meta["img_hw"]
-        mask_at_box = np.asarray(meta["mask_at_box"])
+    def _evaluate_one(self, output, device_batch, meta, b, batch):
+        cfg = self.cfg
+        n_valid = int(np.asarray(device_batch["ray_mask"][b]).sum())
+        rgb_pred = np.asarray(output["rgb_map"][b])[:n_valid]
+        rgb_gt = np.asarray(device_batch["rgb"][b])[:n_valid]
+
+        H, W = _meta_at(meta, "img_hw", b, batch)
+        mask_at_box = np.asarray(_meta_at(meta, "mask_at_box", b, batch))
         img_pred = self._assemble(rgb_pred, mask_at_box, H, W)
         img_gt = self._assemble(rgb_gt, mask_at_box, H, W)
 
@@ -60,13 +74,16 @@ class Evaluator:
             sg = img_gt[y:y + h, x:x + w]
         self.ssim.append(ssim(sp, sg, multichannel=True))
 
-        self._write_comparison(img_pred, img_gt, meta)
+        self.last_images = (img_pred, img_gt)
+        self._write_comparison(img_pred, img_gt, meta, b, batch)
 
-    def _write_comparison(self, img_pred, img_gt, meta):
+    def _write_comparison(self, img_pred, img_gt, meta, b=0, batch=1):
         result_dir = os.path.join(self.cfg.result_dir, "comparison")
         os.makedirs(result_dir, exist_ok=True)
-        fi = int(meta.get("frame_index", 0))
-        vi = int(meta.get("cam_ind", 0))
+        fi = int(_meta_at(meta, "frame_index", b, batch)
+                 if "frame_index" in meta else 0)
+        vi = int(_meta_at(meta, "cam_ind", b, batch)
+                 if "cam_ind" in meta else 0)
         cv2.imwrite(f"{result_dir}/frame{fi:04d}_view{vi:04d}.png",
                     (img_pred[..., ::-1] * 255))
         cv2.imwrite(f"{result_dir}/frame{fi:04d}_view{vi:04d}_gt.png",

@@ -450,6 +450,12 @@ def hat_interp_level(feats, sites, rows, pos, use_pallas=False):
          jnp.full((1, 3), 1e9, jnp.float32)], axis=0)
     rf = fpad[rows]                                  # [ngrp, capR, C]
     rc = spad[rows]                                  # [ngrp, capR, 3]
+    # NOTE (ADVICE r4): default_backend() is a trace-time proxy for the
+    # lowering target — jitting to an explicit non-default CPU device
+    # while a TPU is default would wrongly take the Pallas branch. Known
+    # limitation, accepted: use_pallas defaults to False and is only
+    # enabled by the TPU bench/train path, which always lowers to the
+    # default backend.
     if (use_pallas and feats.dtype == jnp.bfloat16
             and jax.default_backend() == "tpu"):
         from .pallas_hat import hat_contract_fused

@@ -48,9 +48,15 @@ def _fwd_kernel(posT_ref, rcT_ref, rf_ref, o_ref):
 
 
 def _bwd_kernel(posT_ref, rcT_ref, g_ref, drf_ref):
+    # g stays f32 (ADVICE r4): the XLA backward contracts the f32
+    # cotangent; rounding it to bf16 here lost gradient precision (tests
+    # needed 2e-2 tolerance). Only the hat weights drop to bf16, matching
+    # the forward's operand precision.
     w = _hat_w(posT_ref[0], rcT_ref[0])
-    drf_ref[0] = jnp.dot(w.astype(jnp.bfloat16).T,
-                         g_ref[0].astype(jnp.bfloat16),
+    # bf16-round w (the forward's operand precision), then promote for an
+    # f32 dot — exactly the XLA mixed bf16xf32 backward contraction.
+    drf_ref[0] = jnp.dot(w.astype(jnp.bfloat16).T.astype(jnp.float32),
+                         g_ref[0],
                          preferred_element_type=jnp.float32
                          ).astype(drf_ref.dtype)
 
@@ -109,8 +115,13 @@ def hat_contract_fused(rf, rc, pos, interpret: bool = False):
       pos: [ngrp, P, 3] float32 level-grid positions.
       interpret: run in Pallas interpret mode (CPU tests).
 
-    Returns [ngrp, P, C] float32. Differentiable w.r.t. rf only (pos/rc are
-    ray geometry — no parameter gradients flow through them).
+    Returns [ngrp, P, C] float32. Differentiable w.r.t. rf only: rc/pos
+    pass through stop_gradient (ADVICE r4) so a future differentiable-
+    geometry caller (e.g. pose optimization) gets the standard symbolic-
+    zero treatment at THIS boundary instead of the custom VJP's silent
+    structural zeros diverging from the XLA path's nonzero geometry grads.
     """
     op = _make_op(bool(interpret))
+    rc = jax.lax.stop_gradient(rc)
+    pos = jax.lax.stop_gradient(pos)
     return op(rf, jnp.swapaxes(rc, 1, 2), jnp.swapaxes(pos, 1, 2))

@@ -47,6 +47,7 @@ class Recorder:
         self.step = 0
         self.epoch = 0
         self.scalars = defaultdict(SmoothedValue)
+        self.images = {}
         self.batch_time = SmoothedValue()
         self.data_time = SmoothedValue()
         self._writer = None
@@ -62,11 +63,32 @@ class Recorder:
         for k, v in stats.items():
             self.scalars[k].update(v)
 
-    def record(self, prefix="train"):
+    def update_image_stats(self, images: dict):
+        """Stage HWC float images in [0, 1] for the next record() call
+        (ref recorder.py:71-78 update_image_stats; the reference's
+        processor hook is dead code for every shipped task — all trainer
+        wrappers return image_stats={} — so we record real pred/gt eval
+        panels instead)."""
+        for k, v in images.items():
+            self.images[k] = np.asarray(v)
+
+    def record(self, prefix="train", scalars=None):
+        """Emit staged stats. scalars: explicit {name: float} dict (e.g.
+        val metrics) instead of the smoothed training scalars — mirrors
+        the reference's record(prefix, step, loss_stats) override arg."""
         if self._writer is None:
             return
-        for k, v in self.scalars.items():
-            self._writer.add_scalar(f"{prefix}/{k}", v.median, self.step)
+        if scalars is not None:
+            for k, v in scalars.items():
+                self._writer.add_scalar(f"{prefix}/{k}", float(v), self.step)
+        else:
+            for k, v in self.scalars.items():
+                self._writer.add_scalar(f"{prefix}/{k}", v.median, self.step)
+        for k, v in self.images.items():
+            self._writer.add_image(
+                f"{prefix}/{k}", np.clip(v, 0.0, 1.0), self.step,
+                dataformats="HWC")
+        self.images.clear()
 
     def state_dict(self):
         return {"step": self.step, "epoch": self.epoch}

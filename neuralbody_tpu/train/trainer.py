@@ -283,4 +283,13 @@ class Trainer:
                 self.evaluator.evaluate(
                     jax.tree.map(np.asarray, ret), device_batch, meta)
         if self.is_primary:
-            return self.evaluator.summarize()
+            # pred|gt panel of the last evaluated view -> tensorboard
+            # (VERDICT r4 #7; goes beyond the reference's dead
+            # image_stats path, ref recorder.py:55-78)
+            last = getattr(self.evaluator, "last_images", None)
+            if last is not None:
+                self.recorder.update_image_stats(
+                    {"pred_vs_gt": np.concatenate(last, axis=1)})
+            metrics = self.evaluator.summarize()
+            self.recorder.record("val", scalars=metrics or None)
+            return metrics

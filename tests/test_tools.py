@@ -102,3 +102,78 @@ class TestRasterizer:
         assert img.shape == (64, 64, 3)
         assert img.max() > 0.1          # something rendered
         assert (img.sum(-1) == 0).any()  # background remains
+
+
+class TestClosestSurfacePoint:
+    """utils/surface.py: reference-fidelity barycentric blend weights
+    (ref tools/prepare_warping.py:186-199; VERDICT r4 #8)."""
+
+    def _ellipsoid_mesh(self, n=200, seed=3):
+        from scipy.spatial import ConvexHull
+
+        rng = np.random.RandomState(seed)
+        v = rng.randn(n, 3)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        v *= np.array([0.3, 0.8, 0.15])
+        hull = ConvexHull(v)
+        return v, hull.simplices.astype(np.int64)
+
+    def test_matches_brute_force(self):
+        from neuralbody_tpu.utils.surface import (_point_triangle_bary,
+                                                  closest_point_on_mesh)
+
+        verts, faces = self._ellipsoid_mesh()
+        rng = np.random.RandomState(0)
+        q = rng.randn(64, 3) * 0.4
+
+        _, _, _, pts = closest_point_on_mesh(verts, faces, q, k=16)
+
+        # brute force: exact projection on EVERY face
+        tri = verts[faces]
+        bary_all = _point_triangle_bary(
+            q[:, None], tri[None, :, 0], tri[None, :, 1], tri[None, :, 2])
+        closest_all = np.einsum("nfk,fkd->nfd", bary_all, tri)
+        d2_all = ((q[:, None] - closest_all) ** 2).sum(-1)
+        d_brute = np.sqrt(d2_all.min(1))
+        d_ours = np.linalg.norm(q - pts, axis=-1)
+        np.testing.assert_allclose(d_ours, d_brute, atol=1e-9)
+
+    def test_on_surface_identity(self):
+        from neuralbody_tpu.utils.surface import closest_point_on_mesh
+
+        verts, faces = self._ellipsoid_mesh()
+        rng = np.random.RandomState(1)
+        fid = rng.randint(0, len(faces), 40)
+        b = rng.dirichlet([1, 1, 1], 40)
+        q = np.einsum("nk,nkd->nd", b, verts[faces[fid]])
+
+        _, vids, bary, pts = closest_point_on_mesh(verts, faces, q)
+        np.testing.assert_allclose(pts, q, atol=1e-9)
+        np.testing.assert_allclose(
+            np.einsum("nk,nkd->nd", bary, verts[vids]), q, atol=1e-9)
+
+    def test_beats_closest_vertex(self):
+        """For a weight field linear in position, barycentric weights at
+        the surface are exact while closest-vertex errs by O(edge len) —
+        the fidelity gap VERDICT r4 #8 calls out."""
+        from scipy.spatial import cKDTree
+
+        from neuralbody_tpu.utils.surface import barycentric_blend_weights
+
+        verts, faces = self._ellipsoid_mesh()
+        W = np.stack([0.5 + verts[:, 0], 0.5 - verts[:, 0]], axis=1)
+
+        rng = np.random.RandomState(2)
+        fid = rng.randint(0, len(faces), 60)
+        b = rng.dirichlet([1, 1, 1], 60)
+        q = np.einsum("nk,nkd->nd", b, verts[faces[fid]])
+        w_true = np.stack([0.5 + q[:, 0], 0.5 - q[:, 0]], axis=1)
+
+        w_bary = barycentric_blend_weights(verts, faces, W, q)
+        _, nn = cKDTree(verts).query(q, k=1)
+        w_vert = W[nn]
+
+        err_bary = np.abs(w_bary - w_true).max()
+        err_vert = np.abs(w_vert - w_true).max()
+        assert err_bary < 1e-9
+        assert err_vert > 0.01  # closest-vertex really is coarser

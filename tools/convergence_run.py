@@ -126,11 +126,15 @@ def main():
         # leave room for one more epoch + eval before the budget runs out
         if elapsed + 1.5 * dt + 20 > args.budget_s:
             break
-        # plateau: < 0.15 dB total gain over the last 4 evals
-        if len(curve) >= 6:
-            last = [c["psnr"] for c in curve[-4:]]
-            if max(last) - min(last) < 0.15 and last[-1] >= max(
-                    c["psnr"] for c in curve) - 0.15:
+        # plateau: < 0.1 dB PSNR spread AND no SSIM gain over the last
+        # 6 evals (the tiny sanity run showed SSIM still climbing 0.48 ->
+        # 0.56 while PSNR moved < 0.15 dB — PSNR alone stops too early)
+        if len(curve) >= 10:
+            last = curve[-6:]
+            ps = [c["psnr"] for c in last]
+            ss = [c["ssim"] for c in last]
+            if (max(ps) - min(ps) < 0.1 and ss[-1] <= max(ss[:-1]) + 0.002
+                    and ps[-1] >= max(c["psnr"] for c in curve) - 0.1):
                 print("plateaued", flush=True)
                 break
 

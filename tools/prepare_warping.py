@@ -3,10 +3,12 @@
 Equivalent of the reference tools/prepare_warping.py:1-225 (which depends on
 the external C++ pysmplceres + psbody.mesh): for each frame, build a dense
 grid over the POSED body bounds and map every grid point to its T-pose
-location via the blend weights of the closest posed SMPL vertex
-(scipy cKDTree closest-vertex in place of closest-face barycentrics) and
-the frame's inverse bone transforms. Output per frame: ptot_pts.npy
-[X, Y, Z, 3] + pbounds/tbounds, consumed by the tpose dataset/renderer.
+location via the blend weights of its closest point ON the posed SMPL
+surface — closest-face barycentric interpolation of the per-vertex
+weights (ref prepare_warping.py:195-199; utils/surface.py replaces
+psbody.mesh) — and the frame's inverse bone transforms. Output per frame:
+ptot_pts.npy [X, Y, Z, 3] + pbounds/tbounds, consumed by the tpose
+dataset/renderer.
 
 Usage:
     python tools/prepare_warping.py --data_root <seq> \
@@ -26,9 +28,9 @@ def warp_grid_for_frame(model, poses, ptot_vsize, pad=0.05):
     """Returns (ptot_pts [X,Y,Z,3] T-pose coords of the posed grid,
     pbounds [2,3], tbounds [2,3])."""
     import jax.numpy as jnp
-    from scipy.spatial import cKDTree
     from neuralbody_tpu.ops.blend import ppts_to_pts
     from neuralbody_tpu.utils import smpl
+    from neuralbody_tpu.utils.surface import barycentric_blend_weights
 
     # posed vertices in the SMPL (root) frame + skinning transforms
     pverts, _ = smpl.lbs(model, jnp.asarray(poses), jnp.zeros(10))
@@ -48,9 +50,14 @@ def warp_grid_for_frame(model, poses, ptot_vsize, pad=0.05):
     X, Y, Z = grid.shape[:3]
     flat = grid.reshape(-1, 3).astype(np.float32)
 
-    tree = cKDTree(pverts)
-    _, nn = tree.query(flat, k=1)
-    bw = model["weights"][nn]                      # [N, J]
+    if len(model["faces"]):
+        # closest-SURFACE-point barycentric weights (reference fidelity)
+        bw = barycentric_blend_weights(
+            pverts, model["faces"], model["weights"], flat)  # [N, J]
+    else:  # faceless point cloud (synthetic fixtures): closest vertex
+        from scipy.spatial import cKDTree
+        _, nn = cKDTree(pverts).query(flat, k=1)
+        bw = model["weights"][nn]                  # [N, J]
 
     tpts = np.asarray(ppts_to_pts(jnp.asarray(flat), jnp.asarray(bw), A))
     return (tpts.reshape(X, Y, Z, 3).astype(np.float32),

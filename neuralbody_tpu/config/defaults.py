@@ -171,6 +171,9 @@ def default_cfg() -> CfgNode:
     cfg.tpu.interp_mode = "hat"
     cfg.tpu.hat_group_size = 128
     cfg.tpu.hat_tile = [4, 8]
+    # ship hat-path z as u16 slab fractions (halves the biggest payload
+    # leaf; granularity slab/65535 ~ 0.05 mm — see prepare_hat_batch)
+    cfg.tpu.hat_quantize_z = True
     cfg.tpu.data_axis = "data"       # mesh axis name for ray/data parallelism
     cfg.tpu.num_devices = -1         # -1 = all visible devices
     # fused Pallas hat-contraction kernel (ops/pallas_hat.py). Off by

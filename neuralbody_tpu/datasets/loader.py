@@ -102,6 +102,9 @@ class HatSpec(NamedTuple):
     seg_caps: tuple    # static segment-count caps (None while deriving)
     n_groups: int      # static group count (None while deriving)
     perturb: bool
+    # ship z as u16 slab fractions (halves the largest payload leaf;
+    # ops/hat_interp.prepare_hat_batch quantize_z)
+    quantize_z: bool = True
 
 
 def _batch_seed(epoch, batch_idx, seed0=0):
@@ -118,7 +121,7 @@ def apply_hat_spec(device, spec: HatSpec, seed):
         device, spec.out_sh, spec.site_caps, spec.voxel_size,
         spec.n_samples, group_size=spec.group_size, tile=spec.tile,
         rows_caps=spec.rows_caps, seg_caps=spec.seg_caps,
-        n_groups=spec.n_groups, rng=rng)
+        n_groups=spec.n_groups, rng=rng, quantize_z=spec.quantize_z)
     return device, hs
 
 
@@ -430,7 +433,8 @@ def make_data_loader(cfg, split, dataset=None, epoch=0, num_hosts=1,
                 out_sh=geo.out_sh, site_caps=tuple(geo.site_caps),
                 voxel_size=tuple(cfg.voxel_size), n_samples=cfg.N_samples,
                 group_size=int(cfg.tpu.hat_group_size),
-                tile=tuple(cfg.tpu.hat_tile), perturb=bool(cfg.perturb))
+                tile=tuple(cfg.tpu.hat_tile), perturb=bool(cfg.perturb),
+                quantize_z=bool(cfg.tpu.get("hat_quantize_z", True)))
     else:
         if cfg.test.sampler == "FrameSampler":
             idx = samplers.frame_sampler_indices(

@@ -298,7 +298,8 @@ def expand_segments_np(seg_a, seg_cum, cap, sentinel):
 
 def prepare_hat_batch(batch, out_sh, site_caps, voxel_size, n_samples,
                       group_size=128, tile=(4, 8), rows_caps=None,
-                      n_groups=None, seg_caps=None, rng=None):
+                      n_groups=None, seg_caps=None, rng=None,
+                      quantize_z=False):
     """Augment a numpy batch with host-planned hat-interpolation fields.
 
     Adds (per batch element, stacked):
@@ -307,6 +308,16 @@ def prepare_hat_batch(batch, out_sh, site_caps, voxel_size, n_samples,
                                 (uint16 when R*S <= 65536)
       hat_seg_a{l}   [B, ngrp, segcap_l]  row-segment starts (uint16)
       hat_seg_cum{l} [B, ngrp, segcap_l]  inclusive cumulative lengths
+
+    quantize_z=True ships z as uint16 slab fractions ("z_frac"; the
+    device reconstructs near + (far-near) * q/65535) instead of f32
+    z_vals — half the largest payload leaf (262 KB -> 131 KB/batch at the
+    reference working point; the host->TPU link is the fresh-path
+    bottleneck). The HOST plans with the DECODED values, so group
+    assignment and row lists match the device's reconstructed points
+    exactly. Quantization granularity is slab/65535 (~0.05 mm on ZJU
+    bodies) — two orders below the 5 mm voxel, and pure sampling jitter
+    under the stratified-perturb training regime.
     The device reconstructs everything else: sorted world points / view
     dirs from (ray_o, ray_d, z_vals, hat_sort), the expanded row lists
     from the segments (expand_segments), and the de-sort permutation from
@@ -324,9 +335,19 @@ def prepare_hat_batch(batch, out_sh, site_caps, voxel_size, n_samples,
     rev = [2, 1, 0]
     sort_dt = np.uint16 if R * n_samples <= 65536 else np.int32
 
-    zs, sorts, seg_acc = [], [], None
+    zs, zqs, sorts, seg_acc = [], [], [], None
     for b in range(B):
         z = stratified_z_np(batch["near"][b], batch["far"][b], n_samples, rng)
+        if quantize_z:
+            near = batch["near"][b][:, None].astype(np.float32)
+            far = batch["far"][b][:, None].astype(np.float32)
+            slab = np.maximum(far - near, 1e-12)
+            q = np.clip(np.rint((z - near) / slab * 65535.0),
+                        0, 65535).astype(np.uint16)
+            # decode exactly as the device will: plan with these values
+            z = near + (far - near) * (
+                q.astype(np.float32) * np.float32(1.0 / 65535.0))
+            zqs.append(q)
         pts = (batch["ray_o"][b][:, None, :]
                + batch["ray_d"][b][:, None, :] * z[..., None])   # [R, S, 3]
         pts = pts.reshape(-1, 3)
@@ -361,7 +382,10 @@ def prepare_hat_batch(batch, out_sh, site_caps, voxel_size, n_samples,
         return np.asarray(xs[0])[None] if len(xs) == 1 else np.stack(xs)
 
     batch = dict(batch)
-    batch["z_vals"] = _stack(zs).astype(np.float32, copy=False)
+    if quantize_z:
+        batch["z_frac"] = _stack(zqs)
+    else:
+        batch["z_vals"] = _stack(zs).astype(np.float32, copy=False)
     batch["hat_sort"] = _stack(sorts)
     for k, v in seg_acc.items():
         batch[f"hat_{k}"] = _stack(v)
@@ -371,10 +395,20 @@ def prepare_hat_batch(batch, out_sh, site_caps, voxel_size, n_samples,
     return batch, hat_static
 
 
+def decode_z_np(z_frac, near, far):
+    """u16 slab fractions -> f32 depths (numpy mirror of the device
+    decode in render_rays_hat; bit-identical to the planner's values)."""
+    near = np.asarray(near, np.float32)[:, None]
+    far = np.asarray(far, np.float32)[:, None]
+    return near + (far - near) * (
+        np.asarray(z_frac).astype(np.float32) * np.float32(1.0 / 65535.0))
+
+
 def sorted_pts_np(batch, b, n_samples):
     """Host-side reconstruction of the sorted group points/dirs (what the
     device computes in render_rays_hat) — used by tests and probes."""
-    z = batch["z_vals"][b]
+    z = (decode_z_np(batch["z_frac"][b], batch["near"][b], batch["far"][b])
+         if "z_frac" in batch else batch["z_vals"][b])
     pts = (batch["ray_o"][b][:, None, :]
            + batch["ray_d"][b][:, None, :] * z[..., None]).reshape(-1, 3)
     srt = np.asarray(batch["hat_sort"][b]).astype(np.int64)

@@ -55,9 +55,10 @@ def _frame_info(batch, b):
 
 
 _ELEM_KEYS = ("ray_o", "ray_d", "near", "far", "Th", "bounds",
-              "latent_index", "z_vals", "hat_sort",
+              "latent_index", "z_vals", "z_frac", "hat_sort",
               "hat_seg_a1", "hat_seg_a2", "hat_seg_a3", "hat_seg_a4",
               "hat_seg_cum1", "hat_seg_cum2", "hat_seg_cum3", "hat_seg_cum4",
+              "hat_rows1", "hat_rows2", "hat_rows3", "hat_rows4",
               "Ks", "RT", "msks", "R0_snap", "Th0_snap", "K")
 
 
@@ -132,7 +133,8 @@ def render_rays_hat(params, batch, settings: RenderSettings, key=None,
     from ..models import latent_xyzc as lx
     from ..ops.hat_interp import expand_segments, hat_interpolate, inverse_perm
 
-    if len(s.hat_rows_caps) != 4:
+    pre_expanded = "hat_rows1" in batch
+    if not pre_expanded and len(s.hat_rows_caps) != 4:
         raise ValueError(
             "hat batch needs RenderSettings.hat_rows_caps (the planner's "
             "rows_caps, e.g. hat_static['rows_caps'] or the loader's "
@@ -148,18 +150,36 @@ def render_rays_hat(params, batch, settings: RenderSettings, key=None,
         site_feats = [x.astype(dt) for x in site_feats]
 
     B, R = batch["ray_o"].shape[:2]
-    n_samples = batch["z_vals"].shape[-1]   # the host planner is authoritative
+    # the host planner is authoritative for the sample count
+    n_samples = (batch["z_frac"] if "z_frac" in batch
+                 else batch["z_vals"]).shape[-1]
 
     def render_elem(elem, feats):
         frame = {"R": elem["R"], "Th": elem["Th"], "bounds": elem["bounds"],
                  "latent_index": elem["latent_index"]}
-        rows = {l: expand_segments(
-                    elem[f"hat_seg_a{l}"].astype(jnp.int32),
-                    elem[f"hat_seg_cum{l}"].astype(jnp.int32),
-                    s.hat_rows_caps[l - 1], s.model.encoder.site_caps[l])
-                for l in (1, 2, 3, 4)}
+        if pre_expanded:
+            # rows pre-expanded once (HBM-resident reuse, e.g. the bench's
+            # broadcast ceiling or repeated-batch eval): skip the per-step
+            # expansion the compact fresh-path payload requires
+            # (VERDICT r4 #3 — expansion is pure overhead on this path)
+            rows = {l: elem[f"hat_rows{l}"].astype(jnp.int32)
+                    for l in (1, 2, 3, 4)}
+        else:
+            rows = {l: expand_segments(
+                        elem[f"hat_seg_a{l}"].astype(jnp.int32),
+                        elem[f"hat_seg_cum{l}"].astype(jnp.int32),
+                        s.hat_rows_caps[l - 1], s.model.encoder.site_caps[l])
+                    for l in (1, 2, 3, 4)}
         # sorted group points/dirs from the compact plan (see docstring)
-        z = elem["z_vals"]                                        # [R, S]
+        if "z_frac" in elem:
+            # u16 slab fractions -> f32 depths; matches the host planner's
+            # decode_z_np bit-for-bit (ops/hat_interp.py)
+            z = (elem["near"][:, None]
+                 + (elem["far"] - elem["near"])[:, None]
+                 * (elem["z_frac"].astype(jnp.float32)
+                    * jnp.float32(1.0 / 65535.0)))                # [R, S]
+        else:
+            z = elem["z_vals"]                                    # [R, S]
         pts = (elem["ray_o"][:, None, :]
                + elem["ray_d"][:, None, :] * z[..., None])
         srt = elem["hat_sort"].astype(jnp.int32)                  # [ngrp*P]

@@ -32,15 +32,15 @@ def main():
                           n_verts=6890, voxel_size=0.005, n_rand=1024)
     spec_kw = dict(out_sh=tuple(ds.out_sh), site_caps=tuple(ds.site_caps),
                    voxel_size=(0.005,) * 3, n_samples=64,
-                   group_size=128, tile=(4, 8, 16), perturb=True)
+                   group_size=128, tile=(4, 8), perturb=True)
     G, reps = 8, 6
 
     # derive static caps from one batch (what DataLoader does on batch 0)
     np.random.seed(_batch_seed(0, 0))
     dev, _ = collate([ds[0]], 1024)
-    spec = HatSpec(rows_caps=None, n_groups=None, **spec_kw)
+    spec = HatSpec(rows_caps=None, n_groups=None, seg_caps=None, **spec_kw)
     _, hs = apply_hat_spec(dict(dev), spec, 0)
-    spec = HatSpec(rows_caps=hs["rows_caps"],
+    spec = HatSpec(rows_caps=hs["rows_caps"], seg_caps=hs["seg_caps"],
                    n_groups=int(hs["n_groups"] * 1.25), **spec_kw)
 
     t = dict.fromkeys(("sample", "hat", "pickle", "stack", "ship"), 0.0)

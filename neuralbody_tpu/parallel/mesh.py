@@ -43,6 +43,27 @@ def batch_sharded(mesh: Mesh, stacked: bool = False) -> NamedSharding:
     return NamedSharding(mesh, spec)
 
 
+def group_sharded(mesh: Mesh, stacked: bool = False,
+                  flat: bool = False) -> NamedSharding:
+    """Hat-plan arrays: shard the GROUP axis.
+
+    [B, ngrp, S] seg/row tables (flat=False) or [B, ngrp*P] hat_sort
+    (flat=True; P-aligned because ngrp divides the shard count). Without
+    this, the hat decode replicates per device under ray sharding: the
+    global pts[hat_sort] gather forces an all-gather of the sharded ray
+    points and every device then computes ALL groups (measured ~6x step
+    blowup on the 8-virtual-device CPU mesh, tools/probes/
+    cpu_mesh_scaling.py). Group sharding keeps the gather's INDICES
+    sharded instead, so the grouped interpolation + decode partition over
+    chips and only the small raw de-sort needs cross-chip traffic.
+    """
+    spec = (P(None, None, DATA_AXIS) if stacked else P(None, DATA_AXIS)
+            ) if flat else (
+        P(None, None, DATA_AXIS, None) if stacked
+        else P(None, DATA_AXIS, None))
+    return NamedSharding(mesh, spec)
+
+
 def batch_shardings(mesh: Mesh, batch: dict, stacked: bool = False,
                     mode: str = "rays") -> dict:
     """Sharding pytree for a canonical batch.
@@ -64,11 +85,31 @@ def batch_shardings(mesh: Mesh, batch: dict, stacked: bool = False,
                 else shard)
             for k, v in batch.items()
         }
-    ray_keys = {"ray_o", "ray_d", "near", "far", "rgb", "ray_mask", "pts"}
+    ray_keys = {"ray_o", "ray_d", "near", "far", "rgb", "ray_mask", "pts",
+                "z_vals", "z_frac"}
     shard = ray_sharded(mesh, stacked)
+    # hat-plan arrays shard on the group axis when it divides the mesh
+    # (loader pads n_groups to a multiple of 8); otherwise replicate
+    hat_tbl = {f"hat_seg_a{l}" for l in (1, 2, 3, 4)} | {
+        f"hat_seg_cum{l}" for l in (1, 2, 3, 4)} | {
+        f"hat_rows{l}" for l in (1, 2, 3, 4)}
+    proto = batch.get("hat_seg_a1", batch.get("hat_rows1"))
+    n_shards = int(np.prod(mesh.devices.shape))
+    groups_ok = (proto is not None
+                 and np.shape(proto)[-2] % n_shards == 0)
+
+    def spec(k):
+        if k in ray_keys:
+            return shard
+        if groups_ok and k in hat_tbl:
+            return group_sharded(mesh, stacked)
+        if groups_ok and k == "hat_sort":
+            return group_sharded(mesh, stacked, flat=True)
+        return rep
+
     return {
         k: (jax.tree.map(lambda _: rep, v) if isinstance(v, dict)
-            else (shard if k in ray_keys else rep))
+            else spec(k))
         for k, v in batch.items()
     }
 

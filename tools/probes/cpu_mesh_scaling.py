@@ -35,14 +35,19 @@ sys.path.insert(0, REPO)
 
 G, ITERS = 2, 8
 CONFIGS = {
-    # name: (n_rays, n_samples, n_verts, voxel)
-    "encoder_heavy": (1024, 16, 512, 0.02),
-    "decode_dominated": (4096, 16, 128, 0.04),
+    # name: (n_rays, n_samples, n_verts, voxel, hat)
+    "encoder_heavy": (1024, 16, 512, 0.02, True),
+    "decode_dominated": (4096, 16, 128, 0.04, True),
+    # site-interp path (device z sampling, per-ray interpolation): the
+    # control — its decode shards cleanly on the ray axis, so comparing
+    # against decode_dominated isolates how much of the hat path's t8 is
+    # the global hat_sort gather forcing replication
+    "decode_dominated_site": (4096, 16, 128, 0.04, False),
 }
 
 
 def child(ndev, cfg):
-    n_rays, n_samples, n_verts, voxel = CONFIGS[cfg]
+    n_rays, n_samples, n_verts, voxel, hat = CONFIGS[cfg]
     import jax
     jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
@@ -58,14 +63,25 @@ def child(ndev, cfg):
     from neuralbody_tpu.utils.synthetic import make_batch
 
     assert jax.device_count() >= ndev, (jax.device_count(), ndev)
+    hat_static = None
+    if hat:
+        # round the group count to a multiple of 8 so the hat tables
+        # shard on the group axis (parallel/mesh.py group_sharded)
+        _, st0 = make_batch(
+            n_rays=n_rays, n_verts=n_verts, voxel_size=voxel, seed=0,
+            hat=True, n_samples=n_samples, hat_perturb=False)
+        hat_static = dict(st0["hat"])
+        hat_static["n_groups"] = -(-hat_static["n_groups"] // 8) * 8
     batch_np, static = make_batch(
         n_rays=n_rays, n_verts=n_verts, voxel_size=voxel, seed=0,
-        hat=True, n_samples=n_samples, hat_perturb=False)
+        hat=hat, n_samples=n_samples, hat_perturb=False,
+        hat_static=hat_static)
     ms = ModelStatic(encoder=EncoderStatic(
         out_sh=static["out_sh"], site_caps=tuple(static["site_caps"])))
     settings = RenderSettings(
         model=ms, voxel_size=(voxel,) * 3, n_samples=n_samples,
-        chunk_rays=n_rays, hat_rows_caps=tuple(static["hat"]["rows_caps"]))
+        chunk_rays=n_rays,
+        hat_rows_caps=(tuple(static["hat"]["rows_caps"]) if hat else ()))
     params, bn_stats = latent_xyzc.init(
         jax.random.PRNGKey(0), num_train_frame=4, nv=n_verts)
     tx = optax.chain(optax.clip(40.0), optax.adam(5e-4))
@@ -100,7 +116,7 @@ def main():
         return
     out = {"metric": "gspmd_partition_overhead_cpu_mesh",
            "equal_total_work": f"G={G}", "configs": {}}
-    for cfg, (n_rays, n_samples, n_verts, voxel) in CONFIGS.items():
+    for cfg, (n_rays, n_samples, n_verts, voxel, hat) in CONFIGS.items():
         results = {}
         for ndev in (1, 8):
             env = dict(

@@ -44,8 +44,13 @@ def load_model(path):
     }
 
 
-def make_synthetic_model(n_verts=400, n_joints=24, seed=0):
-    """Small structurally-valid SMPL-like model for tests."""
+def make_synthetic_model(n_verts=400, n_joints=24, seed=0, faces=False):
+    """Small structurally-valid SMPL-like model for tests.
+
+    faces=True triangulates the ellipsoid surface (convex hull) so the
+    closest-face barycentric blend-weight path (utils/surface.py, used by
+    tools/prepare_warping.py) is exercised; default keeps the faceless
+    point cloud the older fixtures expect."""
     rng = np.random.RandomState(seed)
     v = rng.randn(n_verts, 3).astype(np.float32)
     v /= np.linalg.norm(v, axis=1, keepdims=True)
@@ -66,8 +71,13 @@ def make_synthetic_model(n_verts=400, n_joints=24, seed=0):
         "J_regressor": J_regressor,
         "weights": weights,
         "parents": parents,
-        "faces": np.zeros((0, 3), np.int32),
+        "faces": (_hull_faces(v) if faces else np.zeros((0, 3), np.int32)),
     }
+
+
+def _hull_faces(v):
+    from scipy.spatial import ConvexHull
+    return ConvexHull(np.asarray(v, np.float64)).simplices.astype(np.int32)
 
 
 def rodrigues(rvecs):

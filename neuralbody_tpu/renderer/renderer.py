@@ -59,6 +59,7 @@ _ELEM_KEYS = ("ray_o", "ray_d", "near", "far", "Th", "bounds",
               "hat_seg_a1", "hat_seg_a2", "hat_seg_a3", "hat_seg_a4",
               "hat_seg_cum1", "hat_seg_cum2", "hat_seg_cum3", "hat_seg_cum4",
               "hat_rows1", "hat_rows2", "hat_rows3", "hat_rows4",
+              "hat_wpts", "hat_vdir",
               "Ks", "RT", "msks", "R0_snap", "Th0_snap", "K")
 
 
@@ -111,6 +112,53 @@ def snapshot_hull_mask(wpts, frame, R0, Th0, K, RT, msk, img_hw):
     ui = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), 0, W - 1)
     vi = jnp.clip(jnp.round(uv[:, 1]).astype(jnp.int32), 0, H - 1)
     return msk[vi, ui] > 0
+
+
+def precompute_hat_device(batch, rows_caps, site_caps, n_samples):
+    """Materialize the hat plan's device-reconstructed tensors ONCE for an
+    HBM-resident (repeated) batch: expanded row lists (hat_rows{l}) and
+    sorted group points/dirs (hat_wpts/hat_vdir). The compact segment/
+    reconstruction encoding exists to shrink the fresh host->TPU payload;
+    on a reused batch it is pure per-step overhead (SWEEP_r05: the point
+    reconstruction is ~4 ms/step of the broadcast ceiling). Returns a new
+    batch dict; bit-equal rendering (tests/test_hat_interp.py)."""
+    from ..ops.hat_interp import expand_segments
+
+    batch = dict(batch)
+    for li, l in enumerate((1, 2, 3, 4)):
+        expand = jax.jit(jax.vmap(
+            lambda a, c, li=li, l=l: expand_segments(
+                a.astype(jnp.int32), c.astype(jnp.int32),
+                rows_caps[li], site_caps[l])))
+        batch[f"hat_rows{l}"] = expand(
+            batch[f"hat_seg_a{l}"], batch[f"hat_seg_cum{l}"])
+        del batch[f"hat_seg_a{l}"], batch[f"hat_seg_cum{l}"]
+
+    @jax.jit
+    def pts_dirs(elem):
+        if "z_frac" in elem:
+            z = (elem["near"][:, None]
+                 + (elem["far"] - elem["near"])[:, None]
+                 * (elem["z_frac"].astype(jnp.float32)
+                    * jnp.float32(1.0 / 65535.0)))
+        else:
+            z = elem["z_vals"]
+        srt = elem["hat_sort"].astype(jnp.int32)
+        ngrp = elem["hat_rows1"].shape[0]
+        P = srt.shape[0] // ngrp
+        pts = (elem["ray_o"][:, None, :]
+               + elem["ray_d"][:, None, :] * z[..., None])
+        wpts = pts.reshape(-1, 3)[srt].reshape(ngrp, P, 3)
+        vd = elem["ray_d"]
+        vd = vd / jnp.maximum(
+            jnp.linalg.norm(vd, axis=-1, keepdims=True), 1e-8)
+        return wpts, vd[srt // n_samples].reshape(ngrp, P, 3)
+
+    keys = ("near", "far", "z_frac", "z_vals", "ray_o", "ray_d",
+            "hat_sort", "hat_rows1")
+    elems = {k: batch[k] for k in keys if k in batch}
+    batch["hat_wpts"], batch["hat_vdir"] = jax.vmap(pts_dirs)(elems)
+    return batch
 
 
 def render_rays_hat(params, batch, settings: RenderSettings, key=None,
@@ -180,16 +228,24 @@ def render_rays_hat(params, batch, settings: RenderSettings, key=None,
                     * jnp.float32(1.0 / 65535.0)))                # [R, S]
         else:
             z = elem["z_vals"]                                    # [R, S]
-        pts = (elem["ray_o"][:, None, :]
-               + elem["ray_d"][:, None, :] * z[..., None])
         srt = elem["hat_sort"].astype(jnp.int32)                  # [ngrp*P]
         ngrp = rows[1].shape[0]
         P = srt.shape[0] // ngrp
-        wpts = pts.reshape(-1, 3)[srt].reshape(ngrp, P, 3)
-        vd = elem["ray_d"]
-        vd = vd / jnp.maximum(
-            jnp.linalg.norm(vd, axis=-1, keepdims=True), 1e-8)
-        vdir = vd[srt // n_samples].reshape(ngrp, P, 3)
+        if "hat_wpts" in elem:
+            # HBM-resident reuse path (pairs with hat_rows{l}): sorted
+            # points/dirs precomputed once — the per-step reconstruction
+            # (pts outer product + two [ngrp*P] gathers) is the measured
+            # ~4 ms/step cost on repeated batches (SWEEP_r05)
+            wpts = elem["hat_wpts"]
+            vdir = elem["hat_vdir"]
+        else:
+            pts = (elem["ray_o"][:, None, :]
+                   + elem["ray_d"][:, None, :] * z[..., None])
+            wpts = pts.reshape(-1, 3)[srt].reshape(ngrp, P, 3)
+            vd = elem["ray_d"]
+            vd = vd / jnp.maximum(
+                jnp.linalg.norm(vd, axis=-1, keepdims=True), 1e-8)
+            vdir = vd[srt // n_samples].reshape(ngrp, P, 3)
 
         ppts = lx.pts_to_can_pts(wpts, frame["R"], frame["Th"])
         dhw = lx.get_dhw_vox(ppts, frame["bounds"], s.voxel_size)

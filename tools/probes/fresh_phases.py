@@ -41,6 +41,7 @@ def main():
     bank = GeomBank(pool.geom_cache, capacity=ds.n_frames)
 
     def run_epoch(epoch, n_batches, params, bn_stats, opt_state, t=None):
+        nonlocal settings
         idx = [i % len(ds) for i in range(n_batches)]
         loader = DataLoader(ds, idx, chunk_rays=N_RAYS, batch_size=1,
                             hat_cfg=hat_cfg, hat_state=hat_state,
@@ -62,6 +63,10 @@ def main():
                 t["wait"] += t1 - t0
             if len(pending) < G:
                 continue
+            if not settings.hat_rows_caps:
+                # static segment-expansion widths, derived by batch 0
+                settings = settings._replace(
+                    hat_rows_caps=tuple(hat_state["rows_caps"]))
             t1 = time.perf_counter()
             stacked = jax.tree.map(
                 lambda *xs: np.stack(xs), *pending,

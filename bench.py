@@ -107,9 +107,14 @@ def measure_broadcast(n_rays=N_RAYS, use_pallas=False, n_iters=20,
     return n_rays * n_iters * G / dt
 
 
-def measure_fresh(num_workers=2, n_disp=12, n_rays=N_RAYS):
-    """Production pipeline: worker-pool loader feeding G distinct
-    freshly-planned batches per dispatch."""
+def measure_fresh(num_workers=2, n_disp=12, n_rays=N_RAYS,
+                  plan_device=True):
+    """Production pipeline: worker-pool loader feeding G distinct fresh
+    batches per dispatch. plan_device=True (production default) builds
+    the hat plan ON DEVICE from banked geometry — batches carry only rays
+    (~60 KB vs ~0.6 MB; the host->TPU link is the bottleneck,
+    tools/probes/fresh_gap.py); False ships host-planned compact hat
+    payloads (multi-host path)."""
     from neuralbody_tpu.datasets.loader import DataLoader, WorkerPool
     from neuralbody_tpu.parallel.geom import GeomBank
     from neuralbody_tpu.train.step import train_step_scan_banked
@@ -147,7 +152,8 @@ def measure_fresh(num_workers=2, n_disp=12, n_rays=N_RAYS):
         idx = [i % len(ds) for i in range(n_batches)]
         loader = DataLoader(ds, idx, chunk_rays=n_rays, batch_size=1,
                             hat_cfg=hat_cfg, hat_state=hat_state,
-                            epoch=epoch, pool=pool, attach_geom=False)
+                            epoch=epoch, pool=pool, attach_geom=False,
+                            plan_device=plan_device)
         key = jax.random.PRNGKey(epoch)
         pending, pending_keys = [], []
         stats = None
@@ -166,7 +172,13 @@ def measure_fresh(num_workers=2, n_disp=12, n_rays=N_RAYS):
                 pending_keys.append(meta["geom_keys"])
                 if len(pending) < G:
                     continue
-                if not settings.hat_rows_caps:
+                if plan_device and settings.hat_plan is None:
+                    from neuralbody_tpu.ops.device_plan import \
+                        spec_from_state
+                    settings = settings._replace(
+                        hat_plan=spec_from_state(
+                            hat_state, settings.model.encoder))
+                elif not settings.hat_rows_caps:
                     # static segment-expansion widths, derived by batch 0
                     settings = settings._replace(
                         hat_rows_caps=tuple(hat_state["rows_caps"]))
@@ -200,6 +212,8 @@ def measure_fresh(num_workers=2, n_disp=12, n_rays=N_RAYS):
 def main():
     fresh = measure_fresh()
     broadcast = measure_broadcast()
+    # batch-size scaling headroom (same recipe, 4x rays/step; SWEEP_r05)
+    broadcast_4k = measure_broadcast(n_rays=4096, n_iters=6)
     print(json.dumps({
         "metric": "train_rays_per_s_per_chip",
         "value": round(fresh, 1),
@@ -207,6 +221,7 @@ def main():
         "vs_baseline": round(fresh / BASELINE_RAYS_PER_S, 3),
         "broadcast_rays_per_s": round(broadcast, 1),
         "fresh_over_broadcast": round(fresh / broadcast, 3),
+        "broadcast_4096_rays_per_s": round(broadcast_4k, 1),
     }))
 
 

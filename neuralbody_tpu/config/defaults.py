@@ -174,6 +174,11 @@ def default_cfg() -> CfgNode:
     # ship hat-path z as u16 slab fractions (halves the biggest payload
     # leaf; granularity slab/65535 ~ 0.05 mm — see prepare_hat_batch)
     cfg.tpu.hat_quantize_z = True
+    # build the hat plan ON DEVICE from banked geometry: batches carry
+    # only rays (~60 KB vs ~0.6 MB; the host->TPU link is the fresh-path
+    # bottleneck — ops/device_plan.py, tools/probes/fresh_gap.py).
+    # Single-process path only; multi-host keeps host plans.
+    cfg.tpu.hat_plan_device = True
     cfg.tpu.data_axis = "data"       # mesh axis name for ray/data parallelism
     cfg.tpu.num_devices = -1         # -1 = all visible devices
     # fused Pallas hat-contraction kernel (ops/pallas_hat.py). Off by

@@ -271,13 +271,19 @@ class DataLoader:
 
     def __init__(self, dataset, indices, chunk_rays, batch_size=1,
                  prefetch=2, hat_cfg=None, hat_state=None, epoch=0,
-                 seed0=0, pool=None, attach_geom=True, geom_cache=None):
+                 seed0=0, pool=None, attach_geom=True, geom_cache=None,
+                 plan_device=False):
         self.dataset = dataset
         self.indices = list(indices)
         self.chunk_rays = chunk_rays
         self.batch_size = batch_size
         self.prefetch = prefetch
         self.hat_cfg = hat_cfg
+        # plan_device: batch 0 still derives the static plan caps via the
+        # host planner (hat_state), but EMITTED batches carry only rays —
+        # the plan is built on device (ops/device_plan.py; the host->TPU
+        # payload is the fresh-path bottleneck, tools/probes/fresh_gap.py)
+        self.plan_device = plan_device
         self.hat_state = hat_state if hat_state is not None else {}
         self.epoch = epoch
         self.seed0 = seed0
@@ -315,6 +321,8 @@ class DataLoader:
         self.hat_state["seg_caps"] = tuple(
             -(-int(c * 1.5) // 8) * 8 for c in hs["seg_caps"])
         self.hat_state["n_groups"] = -(-int(hs["n_groups"] * 1.3) // 8) * 8
+        if self.plan_device:
+            return raw, meta
         device, _ = apply_hat_spec(
             raw, self._spec(), _batch_seed(self.epoch, 0, self.seed0 + 1))
         return device, meta
@@ -361,7 +369,7 @@ class DataLoader:
             first_bi = 1
         if first_bi >= len(self):
             return
-        spec = self._spec()
+        spec = None if self.plan_device else self._spec()
         if self.pool is not None:
             for device, meta in self.pool.run_epoch(
                     self.epoch, self.indices, self.batch_size,
@@ -451,4 +459,8 @@ def make_data_loader(cfg, split, dataset=None, epoch=0, num_hosts=1,
     return DataLoader(dataset, idx, chunk, batch_size=bs, hat_cfg=hat_cfg,
                       hat_state=hat_state, epoch=epoch, seed0=seed0,
                       pool=pool, attach_geom=attach_geom,
-                      geom_cache=geom_cache)
+                      geom_cache=geom_cache,
+                      plan_device=(hat_cfg is not None
+                                   and len(hat_cfg["tile"]) == 2
+                                   and bool(cfg.tpu.get("hat_plan_device",
+                                                        False))))

@@ -43,6 +43,11 @@ class RenderSettings(NamedTuple):
     # consulted when the batch carries hat fields; the trainer threads the
     # loader-derived caps in at step-build time (train/trainer.py).
     hat_rows_caps: tuple = ()
+    # ON-DEVICE batch planning (ops/device_plan.DevicePlanSpec): training
+    # batches carry only rays, the plan is built inside the jitted step
+    # from banked geometry. Takes effect when set AND the batch has no
+    # host-planned hat fields (render_rays dispatch).
+    hat_plan: tuple = None
 
 
 def _frame_info(batch, b):
@@ -247,34 +252,109 @@ def render_rays_hat(params, batch, settings: RenderSettings, key=None,
                 jnp.linalg.norm(vd, axis=-1, keepdims=True), 1e-8)
             vdir = vd[srt // n_samples].reshape(ngrp, P, 3)
 
-        ppts = lx.pts_to_can_pts(wpts, frame["R"], frame["Th"])
-        dhw = lx.get_dhw_vox(ppts, frame["bounds"], s.voxel_size)
-        feat = hat_interpolate(feats, elem["geom"], rows, dhw, s.model)
-        raw = lx.decode_raw(params, feat, wpts, vdir, frame, s.model)
-        raw = raw.reshape(-1, 4)
-
-        if s.hull_views > 0:
-            flat_pts = wpts.reshape(-1, 3)
-            if s.hull_mode == "snapshot":
-                inside = snapshot_hull_mask(
-                    flat_pts, frame, elem["R0_snap"], elem["Th0_snap"],
-                    elem["K"], elem["RT"][0], elem["msks"][0], s.img_hw)
-            else:
-                inside = hull_inside_mask(
-                    flat_pts, elem["Ks"], elem["RT"], elem["msks"], s.img_hw)
-            raw = raw * inside[:, None]
-
-        # de-sort: ray-layout sample i reads its first sorted occurrence
-        # (one int scatter-min; ops/hat_interp.py inverse_perm)
-        raw = raw[inverse_perm(srt, R * n_samples)].reshape(R, n_samples, 4)
-        out = raw2outputs(
-            raw, z, elem["ray_d"],
-            s.raw_noise_std if train else 0.0, s.white_bkgd, noise_key=key)
-        del out["weights"]
-        return out
+        return _hat_finish(params, elem, feats, s, frame, rows, srt, z,
+                           wpts, vdir, R, n_samples, key, train)
 
     ret = jax.vmap(render_elem, in_axes=(0, 0))(
         _batch_elems(batch), site_feats)
+    return ret, new_stats
+
+
+def _hat_finish(params, elem, feats, s, frame, rows, srt, z, wpts, vdir,
+                R, n_samples, key, train):
+    """Shared hat tail: interpolate -> decode -> hull -> de-sort ->
+    quadrature (single batch element; host- and device-planned paths)."""
+    from ..models import latent_xyzc as lx
+    from ..ops.hat_interp import hat_interpolate, inverse_perm
+
+    ppts = lx.pts_to_can_pts(wpts, frame["R"], frame["Th"])
+    dhw = lx.get_dhw_vox(ppts, frame["bounds"], s.voxel_size)
+    feat = hat_interpolate(feats, elem["geom"], rows, dhw, s.model)
+    raw = lx.decode_raw(params, feat, wpts, vdir, frame, s.model)
+    raw = raw.reshape(-1, 4)
+
+    if s.hull_views > 0:
+        flat_pts = wpts.reshape(-1, 3)
+        if s.hull_mode == "snapshot":
+            inside = snapshot_hull_mask(
+                flat_pts, frame, elem["R0_snap"], elem["Th0_snap"],
+                elem["K"], elem["RT"][0], elem["msks"][0], s.img_hw)
+        else:
+            inside = hull_inside_mask(
+                flat_pts, elem["Ks"], elem["RT"], elem["msks"], s.img_hw)
+        raw = raw * inside[:, None]
+
+    # de-sort: ray-layout sample i reads its first sorted occurrence
+    # (one int scatter-min; ops/hat_interp.py inverse_perm)
+    raw = raw[inverse_perm(srt, R * n_samples)].reshape(R, n_samples, 4)
+    out = raw2outputs(
+        raw, z, elem["ray_d"],
+        s.raw_noise_std if train else 0.0, s.white_bkgd, noise_key=key)
+    del out["weights"]
+    return out
+
+
+def render_rays_hat_device(params, batch, settings: RenderSettings,
+                           key=None, train: bool = False):
+    """Hat training path with ON-DEVICE batch planning (ops/device_plan.py).
+
+    The batch carries only rays + supervision (ray_o/d, near/far, rgb,
+    ray_mask, frame info) — ~60 KB vs the host plan's ~0.6 MB. z sampling,
+    tile grouping, segment construction, and expansion all happen inside
+    the jitted step from the HBM-resident geometry; the host->TPU link is
+    the production fresh-path bottleneck (tools/probes/fresh_gap.py).
+    Requires settings.hat_plan (a DevicePlanSpec). Renders identically to
+    the site-interp path at the same z samples (tests/test_device_plan.py).
+
+    Single-chip-oriented: the plan's global sort would all-gather under
+    ray sharding; multi-chip training keeps host plans with group-sharded
+    tables (parallel/mesh.py).
+    """
+    s = settings
+    from ..models import latent_xyzc as lx
+    from ..ops.device_plan import plan_hat_device
+    from ..ops.ray_ops import stratified_z_vals
+
+    spec = s.hat_plan
+    site_feats, new_stats = lx.encode_sparse_voxels(
+        params, batch["geom"], s.model, densify=False)
+    from ..models.nn_utils import mxu_dtype
+    dt = mxu_dtype(s.model.encoder.compute_dtype)
+    if dt == jnp.bfloat16:
+        site_feats = [x.astype(dt) for x in site_feats]
+
+    B, R = batch["ray_o"].shape[:2]
+    n_samples = s.n_samples
+    perturb = train and s.perturb
+    base_key = key if key is not None else jax.random.PRNGKey(0)
+
+    def render_elem(b, elem, feats):
+        frame = {"R": elem["R"], "Th": elem["Th"], "bounds": elem["bounds"],
+                 "latent_index": elem["latent_index"]}
+        kz, kn = jax.random.split(jax.random.fold_in(base_key, b))
+        z = stratified_z_vals(elem["near"], elem["far"], n_samples,
+                              key=kz, perturb=perturb)          # [R, S]
+        pts = (elem["ray_o"][:, None, :]
+               + elem["ray_d"][:, None, :] * z[..., None])
+        pts_flat = pts.reshape(-1, 3)
+        ppts = lx.pts_to_can_pts(pts_flat, frame["R"], frame["Th"])
+        dhw = lx.get_dhw_vox(ppts, frame["bounds"], s.voxel_size)
+
+        srt, rows, overflow = plan_hat_device(dhw, elem["geom"], spec)
+        P = spec.group_size
+        wpts = pts_flat[srt].reshape(spec.n_groups, P, 3)
+        vd = elem["ray_d"]
+        vd = vd / jnp.maximum(
+            jnp.linalg.norm(vd, axis=-1, keepdims=True), 1e-8)
+        vdir = vd[srt // n_samples].reshape(spec.n_groups, P, 3)
+
+        out = _hat_finish(params, elem, feats, s, frame, rows, srt, z,
+                          wpts, vdir, R, n_samples, kn, train)
+        out["plan_overflow"] = overflow
+        return out
+
+    ret = jax.vmap(render_elem, in_axes=(0, 0, 0))(
+        jnp.arange(B), _batch_elems(batch), site_feats)
     return ret, new_stats
 
 
@@ -300,6 +380,10 @@ def render_rays(params, batch, settings: RenderSettings, key=None,
     s = settings
     if "hat_sort" in batch:
         return render_rays_hat(params, batch, settings, key=key, train=train)
+    if train and s.hat_plan is not None:
+        # rays-only batch + DevicePlanSpec: plan on device
+        return render_rays_hat_device(params, batch, settings, key=key,
+                                      train=train)
     ray_o, ray_d = batch["ray_o"], batch["ray_d"]
     B, R = ray_o.shape[:2]
 

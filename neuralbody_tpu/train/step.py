@@ -51,6 +51,11 @@ def loss_fn(params, batch, settings, key):
         img_loss0 = masked_mse(ret["rgb0"], batch["rgb"], batch["ray_mask"])
         loss = loss + img_loss0
         scalar_stats["img_loss0"] = img_loss0
+    if "plan_overflow" in ret:
+        # device-planned hat batches: nonzero means the static plan caps
+        # (n_groups / rows_caps / seg_caps) were exceeded and rows were
+        # clipped — raise the hat_state headroom (ops/device_plan.py)
+        scalar_stats["plan_overflow"] = jnp.max(ret["plan_overflow"])
     scalar_stats["psnr"] = -10.0 * jnp.log10(img_loss)
     return loss, (ret, new_bn, scalar_stats)
 

@@ -177,6 +177,16 @@ class Trainer:
                     # segments, derived by the loader's first batch
                     settings = settings._replace(
                         hat_rows_caps=tuple(self.hat_state["rows_caps"]))
+                elif self.hat_state.get("rows_caps"):
+                    # rays-only batches + derived statics: the plan is
+                    # built on device (cfg.tpu.hat_plan_device;
+                    # ops/device_plan.py)
+                    from ..ops.device_plan import spec_from_state
+                    settings = settings._replace(
+                        hat_plan=spec_from_state(
+                            self.hat_state, settings.model.encoder,
+                            group_size=int(cfg.tpu.hat_group_size),
+                            tile=tuple(cfg.tpu.hat_tile)))
                 self._steps[(g, banked)] = make(
                     self.mesh, settings, self.tx, one,
                     loss=self.loss_fn, **kw)

@@ -108,7 +108,7 @@ def measure_broadcast(n_rays=N_RAYS, use_pallas=False, n_iters=20,
 
 
 def measure_fresh(num_workers=2, n_disp=12, n_rays=N_RAYS,
-                  plan_device=True):
+                  plan_device=True, packed=True):
     """Production pipeline: worker-pool loader feeding G distinct fresh
     batches per dispatch. plan_device=True (production default) builds
     the hat plan ON DEVICE from banked geometry — batches carry only rays
@@ -117,7 +117,9 @@ def measure_fresh(num_workers=2, n_disp=12, n_rays=N_RAYS,
     payloads (multi-host path)."""
     from neuralbody_tpu.datasets.loader import DataLoader, WorkerPool
     from neuralbody_tpu.parallel.geom import GeomBank
-    from neuralbody_tpu.train.step import train_step_scan_banked
+    from neuralbody_tpu.parallel.pack import make_layout, pack
+    from neuralbody_tpu.train.step import (train_step_scan_banked,
+                                           train_step_scan_packed)
     from neuralbody_tpu.utils.synthetic import SyntheticDataset
 
     ds = SyntheticDataset(n_frames=4, n_cams=4, hw=(512, 512),
@@ -136,15 +138,31 @@ def measure_fresh(num_workers=2, n_disp=12, n_rays=N_RAYS,
     # inside the jitted step — never re-shipped per batch (parallel/geom.py)
     bank = GeomBank(pool.geom_cache, capacity=ds.n_frames)
 
+    layout_box = {}
+
     def _prep(item):
         """Stack + host->device transfer of one dispatch group (prefetcher
-        thread — overlaps with the in-flight scan; parallel/transfer.py)."""
+        thread — overlaps with the in-flight scan; parallel/transfer.py).
+        packed=True ships the whole group as ONE uint8 buffer: device
+        buffer creation costs ~12 ms/array on the tunnel regardless of
+        size (tools/probes/fresh_gap.py), so leaf count — not bytes — is
+        the dominant fresh-path cost."""
         group, group_keys, subs = item
+        if packed:
+            stacked = {k: np.stack([g[k] for g in group])
+                       for k in group[0]}
+            bank_arrays, rows = bank.rows(group_keys)
+            stacked["geom_rows"] = np.asarray(rows)
+            if "layout" not in layout_box:
+                layout_box["layout"] = make_layout(stacked)
+            lo = layout_box["layout"]
+            return jnp.asarray(pack(stacked, lo)), jnp.stack(subs), \
+                bank_arrays, lo
         stacked = jax.tree.map(
             lambda *xs: jnp.asarray(np.stack(xs)), *group,
             is_leaf=lambda x: not isinstance(x, dict))
         bank_arrays, stacked["geom_rows"] = bank.rows(group_keys)
-        return stacked, jnp.stack(subs), bank_arrays
+        return stacked, jnp.stack(subs), bank_arrays, None
 
     def run_epoch(epoch, n_batches, params, bn_stats, opt_state):
         nonlocal settings
@@ -160,10 +178,17 @@ def measure_fresh(num_workers=2, n_disp=12, n_rays=N_RAYS,
 
         def dispatch(ready):
             nonlocal params, bn_stats, opt_state, stats
-            stacked, keys, bank_arrays = ready
-            params, bn_stats, opt_state, stats = train_step_scan_banked(
-                params, bn_stats, opt_state, stacked, keys, bank_arrays,
-                settings, tx)
+            stacked, keys, bank_arrays, lo = ready
+            if lo is not None:
+                (params, bn_stats, opt_state,
+                 stats) = train_step_scan_packed(
+                    params, bn_stats, opt_state, stacked, keys,
+                    bank_arrays, lo, settings, tx)
+            else:
+                (params, bn_stats, opt_state,
+                 stats) = train_step_scan_banked(
+                    params, bn_stats, opt_state, stacked, keys,
+                    bank_arrays, settings, tx)
 
         prefetch = DevicePrefetcher(_prep, depth=2)
         try:

@@ -173,3 +173,23 @@ def nerf_eval_step(params, batch, settings):
     from ..renderer.volume_renderer import render_nerf_rays
     ret, _ = render_nerf_rays(params, batch, settings, key=None, train=False)
     return ret
+
+
+@partial(jax.jit, static_argnames=("layout", "settings", "tx", "loss"),
+         donate_argnames=("params", "bn_stats", "opt_state"))
+def train_step_scan_packed(params, bn_stats, opt_state, packed, keys,
+                           geom_bank, layout, settings, tx, loss=None):
+    """train_step_scan_banked with the dispatch payload as ONE buffer.
+
+    On the tunneled TPU, device-buffer creation costs ~12 ms of RPC
+    latency per array regardless of size (tools/probes/fresh_gap.py), so
+    the host packs the whole stacked group into a single uint8 buffer
+    (parallel/pack.py) and the step unpacks it here with static slices +
+    bitcasts — XLA folds those into the consumers.
+    """
+    from ..parallel.pack import unpack
+
+    batches = unpack(packed, layout)
+    return train_step_scan_banked(
+        params, bn_stats, opt_state, batches, keys, geom_bank,
+        settings, tx, loss=loss)

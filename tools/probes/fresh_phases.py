@@ -26,6 +26,7 @@ def main():
 
     num_workers = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     tile = (4, 8, 16) if "tile3d" in sys.argv[2:] else (4, 8)
+    plan_device = "devplan" in sys.argv
     N_RAYS, N_SAMPLES, G = bench.N_RAYS, bench.N_SAMPLES, bench.G
 
     ds = SyntheticDataset(n_frames=4, n_cams=4, hw=(512, 512),
@@ -45,7 +46,8 @@ def main():
         idx = [i % len(ds) for i in range(n_batches)]
         loader = DataLoader(ds, idx, chunk_rays=N_RAYS, batch_size=1,
                             hat_cfg=hat_cfg, hat_state=hat_state,
-                            epoch=epoch, pool=pool, attach_geom=False)
+                            epoch=epoch, pool=pool, attach_geom=False,
+                            plan_device=plan_device)
         key = jax.random.PRNGKey(epoch)
         pending, pending_keys = [], []
         stats = None
@@ -63,7 +65,11 @@ def main():
                 t["wait"] += t1 - t0
             if len(pending) < G:
                 continue
-            if not settings.hat_rows_caps:
+            if plan_device and settings.hat_plan is None:
+                from neuralbody_tpu.ops.device_plan import spec_from_state
+                settings = settings._replace(hat_plan=spec_from_state(
+                    hat_state, settings.model.encoder))
+            elif not settings.hat_rows_caps:
                 # static segment-expansion widths, derived by batch 0
                 settings = settings._replace(
                     hat_rows_caps=tuple(hat_state["rows_caps"]))
@@ -107,7 +113,7 @@ def main():
     finally:
         pool.shutdown()
     n = n_disp * G
-    print(f"workers={num_workers} tile={tile}: "
+    print(f"workers={num_workers} tile={tile} devplan={plan_device}: "
           f"{N_RAYS * n / dt:.0f} rays/s ({dt / n * 1000:.2f} ms/batch)")
     for k, v in t.items():
         print(f"  {k:6s} {v / n * 1000:6.2f} ms/batch")

@@ -108,13 +108,12 @@ def measure_broadcast(n_rays=N_RAYS, use_pallas=False, n_iters=20,
 
 
 def measure_fresh(num_workers=2, n_disp=12, n_rays=N_RAYS,
-                  plan_device=True, packed=True):
+                  plan_device=False, packed=True):
     """Production pipeline: worker-pool loader feeding G distinct fresh
-    batches per dispatch. plan_device=True (production default) builds
-    the hat plan ON DEVICE from banked geometry — batches carry only rays
-    (~60 KB vs ~0.6 MB; the host->TPU link is the bottleneck,
-    tools/probes/fresh_gap.py); False ships host-planned compact hat
-    payloads (multi-host path)."""
+    batches per dispatch. plan_device=True builds the hat plan ON DEVICE
+    (ops/device_plan.py; measured net-slower on the tunneled v5e, so the
+    production default ships host-planned compact payloads — CLAUDE.md
+    fresh-path cost model). packed=True ships each group as one buffer."""
     from neuralbody_tpu.datasets.loader import DataLoader, WorkerPool
     from neuralbody_tpu.parallel.geom import GeomBank
     from neuralbody_tpu.parallel.pack import make_layout, pack

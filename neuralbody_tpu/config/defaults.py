@@ -175,10 +175,12 @@ def default_cfg() -> CfgNode:
     # leaf; granularity slab/65535 ~ 0.05 mm — see prepare_hat_batch)
     cfg.tpu.hat_quantize_z = True
     # build the hat plan ON DEVICE from banked geometry: batches carry
-    # only rays (~60 KB vs ~0.6 MB; the host->TPU link is the fresh-path
-    # bottleneck — ops/device_plan.py, tools/probes/fresh_gap.py).
-    # Single-process path only; multi-host keeps host plans.
-    cfg.tpu.hat_plan_device = True
+    # only rays (~60 KB vs ~0.6 MB; ops/device_plan.py). Bit-parity with
+    # the host planner, but measured NET-SLOWER integrated on the
+    # tunneled v5e (planning ops cost more than the transfer it saves —
+    # CLAUDE.md fresh-path cost model), so off by default; revisit on
+    # hosts with real PCIe/DMA where per-batch transfer is cheap.
+    cfg.tpu.hat_plan_device = False
     cfg.tpu.data_axis = "data"       # mesh axis name for ray/data parallelism
     cfg.tpu.num_devices = -1         # -1 = all visible devices
     # fused Pallas hat-contraction kernel (ops/pallas_hat.py). Off by

@@ -306,21 +306,42 @@ class DataLoader:
                        seg_caps=st.get("seg_caps"),
                        n_groups=st.get("n_groups"), **self.hat_cfg)
 
-    def _derive_hat_static(self):
-        """Size the hat planner's static shapes from batch 0 (+headroom:
-        later batches — other frames/views — must fit without recompile),
-        then emit batch 0 replanned at the final sizes."""
-        np.random.seed(_batch_seed(self.epoch, 0, self.seed0))
-        batch_idx = self.indices[:self.batch_size]
-        samples = [self.dataset[j] for j in batch_idx]
-        raw, meta = collate(samples, self.chunk_rays)
-        _, hs = apply_hat_spec(raw, self._spec(),
-                               _batch_seed(self.epoch, 0, self.seed0 + 1))
+    def _derive_hat_static(self, probe_batches=8):
+        """Size the hat planner's static shapes from the MAX over several
+        probe batches, then emit batch 0 replanned at the final sizes.
+
+        The statics directly scale device compute: every padded group
+        costs a full group_size of decode-MLP work and every padded row a
+        hat-matmul slot (the traced fresh step ran 49 ms/batch vs the
+        26 ms tight-plan benchmark — mostly this padding). A multi-batch
+        max is far more stable than one batch (typ. spread ±3% across
+        frames/views), so margins shrink from x1.3-1.5 on one batch to
+        x1.08/x1.15 on the max. Overflow on a later batch still raises
+        with the raise-the-caps message (plan_hat_groups)."""
+        n_probe = min(probe_batches, len(self))
+        maxima = None
+        raw = meta = None
+        for bi in range(n_probe):
+            np.random.seed(_batch_seed(self.epoch, bi, self.seed0))
+            batch_idx = self.indices[bi * self.batch_size:
+                                     (bi + 1) * self.batch_size]
+            b_raw, b_meta = collate([self.dataset[j] for j in batch_idx],
+                                    self.chunk_rays)
+            if bi == 0:
+                raw, meta = b_raw, b_meta
+            _, hs = apply_hat_spec(
+                dict(b_raw), self._spec(),
+                _batch_seed(self.epoch, bi, self.seed0 + 1))
+            cur = (hs["n_groups"],) + tuple(hs["rows_caps"]) + tuple(
+                hs["seg_caps"])
+            maxima = cur if maxima is None else tuple(
+                max(a, b) for a, b in zip(maxima, cur))
+        ng, rows, segs = maxima[0], maxima[1:5], maxima[5:]
         self.hat_state["rows_caps"] = tuple(
-            -(-int(c * 1.5) // 32) * 32 for c in hs["rows_caps"])
+            -(-int(c * 1.15) // 32) * 32 for c in rows)
         self.hat_state["seg_caps"] = tuple(
-            -(-int(c * 1.5) // 8) * 8 for c in hs["seg_caps"])
-        self.hat_state["n_groups"] = -(-int(hs["n_groups"] * 1.3) // 8) * 8
+            -(-int(c * 1.25) // 8) * 8 for c in segs)
+        self.hat_state["n_groups"] = -(-int(ng * 1.08) // 8) * 8
         if self.plan_device:
             return raw, meta
         device, _ = apply_hat_spec(

@@ -107,7 +107,7 @@ class GeometryCache:
             return None
         tag = "_".join(map(str, self.out_sh)) + "-" + \
             "_".join(map(str, self.site_caps)) + \
-            f"-{self.voxel_size[0]:.4f}-t27x"  # t27x: tap-major + xtri tables
+            f"-{self.voxel_size[0]:.4f}-t27xr"  # t27xr: + rowcum tables
         return os.path.join(self.cache_dir, f"geom_{key}_{tag}.npz")
 
     def frame(self, key, wxyz, Rh, Th):

@@ -126,25 +126,33 @@ def plan_hat_device(dhw, geom, spec: DevicePlanSpec):
         h_lo = jnp.clip(lo[:, 1], 0, Hl - 1)
         h_hi = jnp.clip(hi[:, 1], 0, Hl - 1)
 
-        sites = geom[f"sites{lvl}"]                        # [capS, 3]
-        ns = geom[f"nsite{lvl}"].astype(jnp.int32)
-        # code keys; padded rows (coord 2^30 would overflow i32 keys) get
-        # an explicit past-the-end sentinel so the table stays sorted
-        sc = jnp.clip(sites, 0, max(Dl, Hl, Wl) - 1)
-        key = (sc[:, 0] * Hl + sc[:, 1]) * Wl + sc[:, 2]
-        key = jnp.where(jnp.arange(key.shape[0]) < ns, key,
-                        jnp.int32(2 ** 30))
-
         nseg = spec.seg_caps[li]
         ds = d_lo[:, None] + jnp.arange(nseg, dtype=jnp.int32)[None, :]
         dvalid = ds <= d_hi[:, None]
         dsc = jnp.minimum(ds, d_hi[:, None])
-        q_lo = (dsc * Hl + h_lo[:, None]) * Wl              # [G, nseg]
-        q_hi = (dsc * Hl + h_hi[:, None] + 1) * Wl
-        seg_a = jnp.searchsorted(key, q_lo.ravel()).astype(
-            jnp.int32).reshape(q_lo.shape)
-        seg_b = jnp.searchsorted(key, q_hi.ravel()).astype(
-            jnp.int32).reshape(q_hi.shape)
+        if f"rowcum{lvl}" in geom:
+            # per-(d, h) slice offsets precomputed per frame
+            # (build_frame_geometry): segment bounds are pure gathers
+            rowcum = geom[f"rowcum{lvl}"]                   # [Dl*Hl + 1]
+            seg_a = rowcum[dsc * Hl + h_lo[:, None]]
+            seg_b = rowcum[dsc * Hl + h_hi[:, None] + 1]
+        else:
+            # fallback (pre-rowcum cached geometry): binary search over
+            # the code-sorted site keys
+            sites = geom[f"sites{lvl}"]                    # [capS, 3]
+            ns = geom[f"nsite{lvl}"].astype(jnp.int32)
+            # padded rows (coord 2^30 would overflow i32 keys) get an
+            # explicit past-the-end sentinel so the table stays sorted
+            sc = jnp.clip(sites, 0, max(Dl, Hl, Wl) - 1)
+            key = (sc[:, 0] * Hl + sc[:, 1]) * Wl + sc[:, 2]
+            key = jnp.where(jnp.arange(key.shape[0]) < ns, key,
+                            jnp.int32(2 ** 30))
+            q_lo = (dsc * Hl + h_lo[:, None]) * Wl          # [G, nseg]
+            q_hi = (dsc * Hl + h_hi[:, None] + 1) * Wl
+            seg_a = jnp.searchsorted(key, q_lo.ravel()).astype(
+                jnp.int32).reshape(q_lo.shape)
+            seg_b = jnp.searchsorted(key, q_hi.ravel()).astype(
+                jnp.int32).reshape(q_hi.shape)
         lens = jnp.where(dvalid, seg_b - seg_a, 0)
         seg_cum = jnp.cumsum(lens, axis=1)
 

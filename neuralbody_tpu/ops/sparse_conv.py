@@ -288,6 +288,16 @@ def build_frame_geometry(vertex_coords: np.ndarray, out_sh, site_caps,
             ivol[sites[:, 0], sites[:, 1], sites[:, 2]] = np.arange(
                 len(sites), dtype=np.int32)
             geom[f"ivol{lvl}"] = ivol
+            # per-(d, h) slice row offsets into the code-sorted site
+            # table: rowcum[d*H + h] = #sites in slices before (d, h) ==
+            # searchsorted(keys, (d*H + h)*W). Turns the device planner's
+            # per-level segment searchsorted into pure gathers
+            # (ops/device_plan.py). [D*H + 1] i32, ~100 KB/frame total.
+            Dl, Hl = int(sh[0]), int(sh[1])
+            cnt = np.bincount(sites[:, 0].astype(np.int64) * Hl
+                              + sites[:, 1], minlength=Dl * Hl)
+            geom[f"rowcum{lvl}"] = np.concatenate(
+                [[0], np.cumsum(cnt)]).astype(np.int32)
         level_sites.append(sites)
 
         if lvl < 4:

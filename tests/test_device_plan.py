@@ -121,3 +121,28 @@ def test_overflow_flag_fires_on_tight_caps(scene):
     _, _, overflow = jax.jit(plan_hat_device,
                              static_argnames=("spec",))(dhw, geom0, tight)
     assert float(overflow) == 1.0
+
+
+def test_searchsorted_fallback_matches_rowcum(scene):
+    """Pre-rowcum cached geometry (no rowcum{l} keys) takes the binary-
+    search fallback and must produce the identical plan."""
+    base_np, hat_np, static, spec, ms, params = scene
+
+    z = hat_np["z_vals"][0]
+    pts = (hat_np["ray_o"][0][:, None, :]
+           + hat_np["ray_d"][0][:, None, :] * z[..., None]).reshape(-1, 3)
+    Rm, Th = hat_np["R"][0], hat_np["Th"][0].reshape(1, 3)
+    ppts = (pts - Th) @ Rm
+    dhw = jnp.asarray(((ppts[:, [2, 1, 0]]
+                        - hat_np["bounds"][0][0][[2, 1, 0]])
+                       / np.float32(VOX)).astype(np.float32))
+    geom0 = {k: jnp.asarray(v[0]) for k, v in hat_np["geom"].items()}
+    legacy = {k: v for k, v in geom0.items()
+              if not k.startswith("rowcum")}
+
+    jit_plan = jax.jit(plan_hat_device, static_argnames=("spec",))
+    p1, r1, o1 = jit_plan(dhw, geom0, spec)
+    p2, r2, o2 = jit_plan(dhw, legacy, spec)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    for l in (1, 2, 3, 4):
+        np.testing.assert_array_equal(np.asarray(r1[l]), np.asarray(r2[l]))

@@ -174,6 +174,11 @@ def default_cfg() -> CfgNode:
     # ship hat-path z as u16 slab fractions (halves the biggest payload
     # leaf; granularity slab/65535 ~ 0.05 mm — see prepare_hat_batch)
     cfg.tpu.hat_quantize_z = True
+    # multiplier on the derived hat static sizes (loader._derive_hat_
+    # static probes 8 batches and adds x1.08/x1.15/x1.25). Raise it if a
+    # long run overflows the plan caps (ValueError names this knob);
+    # every extra % of n_groups costs ~0.3% step time (padding compute).
+    cfg.tpu.hat_static_margin = 1.0
     # build the hat plan ON DEVICE from banked geometry: batches carry
     # only rays (~60 KB vs ~0.6 MB; ops/device_plan.py). Bit-parity with
     # the host planner, but measured NET-SLOWER integrated on the

@@ -272,7 +272,7 @@ class DataLoader:
     def __init__(self, dataset, indices, chunk_rays, batch_size=1,
                  prefetch=2, hat_cfg=None, hat_state=None, epoch=0,
                  seed0=0, pool=None, attach_geom=True, geom_cache=None,
-                 plan_device=False):
+                 plan_device=False, static_margin=1.0):
         self.dataset = dataset
         self.indices = list(indices)
         self.chunk_rays = chunk_rays
@@ -284,6 +284,7 @@ class DataLoader:
         # the plan is built on device (ops/device_plan.py; the host->TPU
         # payload is the fresh-path bottleneck, tools/probes/fresh_gap.py)
         self.plan_device = plan_device
+        self.static_margin = float(static_margin)
         self.hat_state = hat_state if hat_state is not None else {}
         self.epoch = epoch
         self.seed0 = seed0
@@ -337,11 +338,12 @@ class DataLoader:
             maxima = cur if maxima is None else tuple(
                 max(a, b) for a, b in zip(maxima, cur))
         ng, rows, segs = maxima[0], maxima[1:5], maxima[5:]
+        m = self.static_margin   # cfg.tpu.hat_static_margin escape hatch
         self.hat_state["rows_caps"] = tuple(
-            -(-int(c * 1.15) // 32) * 32 for c in rows)
+            -(-int(c * 1.15 * m) // 32) * 32 for c in rows)
         self.hat_state["seg_caps"] = tuple(
-            -(-int(c * 1.25) // 8) * 8 for c in segs)
-        self.hat_state["n_groups"] = -(-int(ng * 1.08) // 8) * 8
+            -(-int(c * 1.25 * m) // 8) * 8 for c in segs)
+        self.hat_state["n_groups"] = -(-int(ng * 1.08 * m) // 8) * 8
         if self.plan_device:
             return raw, meta
         device, _ = apply_hat_spec(
@@ -484,4 +486,6 @@ def make_data_loader(cfg, split, dataset=None, epoch=0, num_hosts=1,
                       plan_device=(hat_cfg is not None
                                    and len(hat_cfg["tile"]) == 2
                                    and bool(cfg.tpu.get("hat_plan_device",
-                                                        False))))
+                                                        False))),
+                      static_margin=float(
+                          cfg.tpu.get("hat_static_margin", 1.0)))

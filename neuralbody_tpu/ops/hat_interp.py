@@ -180,7 +180,7 @@ def plan_hat_groups(dhw_pts, geom, out_sh, site_caps, group_size=128,
     if used_groups > n_groups:
         raise ValueError(
             f"hat group overflow: batch needs {used_groups} groups but the "
-            f"static count is {n_groups}; raise tpu.hat_n_groups")
+            f"static count is {n_groups}; raise cfg.tpu.hat_static_margin")
     # inert padding groups: repeat point 0, zero-length segment lists
     perm = np.concatenate(
         [perm, np.zeros(((n_groups - used_groups) * P,), np.int32)])
@@ -249,7 +249,7 @@ def plan_hat_groups(dhw_pts, geom, out_sh, site_caps, group_size=128,
         if need > cap:
             raise ValueError(
                 f"hat rows overflow at level {lvl}: group needs {need} rows "
-                f"but cap is {cap}; raise tpu.hat_rows_caps for this sequence")
+                f"but cap is {cap}; raise cfg.tpu.hat_static_margin")
         used_caps.append(cap)
 
         # compact the per-group segment lists (drop empties, keep order)
@@ -261,7 +261,7 @@ def plan_hat_groups(dhw_pts, geom, out_sh, site_caps, group_size=128,
         if seg_need > scap:
             raise ValueError(
                 f"hat segs overflow at level {lvl}: group needs {seg_need} "
-                f"segments but cap is {scap}; raise the static seg caps")
+                f"segments but cap is {scap}; raise cfg.tpu.hat_static_margin")
         used_seg_caps.append(scap)
         sa = np.zeros((ngrp, scap), np.int32)
         sl = np.zeros((ngrp, scap), np.int64)

@@ -255,8 +255,19 @@ def render_rays_hat(params, batch, settings: RenderSettings, key=None,
         return _hat_finish(params, elem, feats, s, frame, rows, srt, z,
                            wpts, vdir, R, n_samples, key, train)
 
-    ret = jax.vmap(render_elem, in_axes=(0, 0))(
-        _batch_elems(batch), site_feats)
+    elems = _batch_elems(batch)
+    if B == 1:
+        # reference recipe (batch_size 1): skip the vmap — the leading
+        # unit dim shifts which axes land on the TPU's (8, 128) tiling
+        # in every intermediate (suspected r03->r04 ceiling regression;
+        # CLAUDE.md "ceiling archeology")
+        ret = render_elem(
+            jax.tree.map(lambda x: x[0], elems,
+                         is_leaf=lambda x: not isinstance(x, dict)),
+            [x[0] for x in site_feats])
+        ret = jax.tree.map(lambda x: x[None], ret)
+    else:
+        ret = jax.vmap(render_elem, in_axes=(0, 0))(elems, site_feats)
     return ret, new_stats
 
 
